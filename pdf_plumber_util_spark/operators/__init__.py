@@ -1,0 +1,22 @@
+from .lines import (  # noqa: F401
+    assign_line_ids,
+    build_segments,
+    combine_words_x,
+    line_texts_from_segments,
+    assemble_lines,
+    drop_blank_lines,
+)
+from .spacing import (  # noqa: F401
+    contextual_gaps,
+    contextual_spacing_rules,
+    fallback_context,
+    classify_gaps,
+)
+from .blocks import form_blocks  # noqa: F401
+from .boundaries import (  # noqa: F401
+    page_base_spacing,
+    header_footer_candidates,
+    contextual_header_footer_candidates,
+    final_boundaries,
+    body_text,
+)

@@ -1,0 +1,189 @@
+"""Deterministic HTML-lite layout renderer: html bytes -> word geometry.
+
+This is the webtext generalization of the reference's pdfplumber word scan
+(S1, core/extractor.py:71-198): instead of a PDF parser, a deterministic
+box-model renderer assigns every word a bbox, font and size from its DOM
+context, so every downstream geometric operator (line clustering, gap
+windows, block sessionization, header/footer voting) operates on real
+geometry. Boilerplate-relevant DOM features (link density per block) ride
+along per word, per the north-star text-density/link-density heuristics.
+
+The layout model (all deterministic, documented so tests can compute
+expected geometry by hand):
+
+  page: 612 x 792 pt, content box x in [72, 540], y in [72, 720]
+  fonts:   h1 (Helvetica-Bold, 18)   h2 (Helvetica-Bold, 14)
+           h3 (Helvetica-BoldOblique, 13)
+           p/li (TimesNewRoman, 10)  nav/aside (Helvetica, 9)
+           inline <b> -> family+"-Bold", <i> -> family+"-Italic",
+           <a> -> family+"-Link" and marks words as links
+  metrics: char width = 0.5*size, space = 0.3*size, line height = 1.2*size
+  block gap (vertical space before block): h1 24, h2 18, h3 14, p 6,
+           li 3, nav/aside 4
+  page furniture: <header> renders at top = 36 on EVERY page;
+           <footer> renders with bottom = 756 on every page
+  page break: a line that would start below y=720 moves to the next page
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+PAGE_W, PAGE_H = 612.0, 792.0
+MARGIN_X, CONTENT_TOP, CONTENT_BOTTOM = 72.0, 72.0, 720.0
+HEADER_TOP, FOOTER_BOTTOM = 36.0, 756.0
+
+BLOCK_STYLE = {
+    # tag: (font family, size, gap_before_block)
+    "h1": ("Helvetica-Bold", 18.0, 24.0),
+    "h2": ("Helvetica-Bold", 14.0, 18.0),
+    "h3": ("Helvetica-BoldOblique", 13.0, 14.0),
+    "p": ("TimesNewRoman", 10.0, 6.0),
+    "li": ("TimesNewRoman", 10.0, 3.0),
+    "nav": ("Helvetica", 9.0, 4.0),
+    "aside": ("Helvetica", 9.0, 4.0),
+}
+FURNITURE = {"header", "footer"}
+INLINE = {"b", "i", "a"}
+
+WORD_FIELDS = [
+    "page", "word_idx", "text", "x0", "x1", "top", "bottom",
+    "fontname", "size", "upright", "is_link", "tag",
+]
+
+
+class _Collector(HTMLParser):
+    """Collect (tag, [(text, inline_marks)]) block sequence."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.blocks: list[tuple[str, list[tuple[str, frozenset]]]] = []
+        self._tag: str | None = None
+        self._inline: list[str] = []
+        self._words: list[tuple[str, frozenset]] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in BLOCK_STYLE or tag in FURNITURE:
+            self._tag = tag
+            self._words = []
+            self._inline = []
+        elif tag in INLINE and self._tag is not None:
+            self._inline.append(tag)
+
+    def handle_endtag(self, tag):
+        if tag in INLINE and self._inline and self._inline[-1] == tag:
+            self._inline.pop()
+        elif tag == self._tag:
+            if self._words:
+                self.blocks.append((self._tag, self._words))
+            self._tag = None
+
+    def handle_data(self, data):
+        if self._tag is None:
+            return
+        marks = frozenset(self._inline)
+        for w in data.split():
+            self._words.append((w, marks))
+
+
+def _font_for(family: str, marks: frozenset) -> tuple[str, bool]:
+    font = family
+    if "b" in marks and "Bold" not in font:
+        font += "-Bold"
+    if "i" in marks and "Italic" not in font:
+        font += "-Italic"
+    is_link = "a" in marks
+    if is_link:
+        font += "-Link"
+    return font, is_link
+
+
+def layout_html(html: str) -> list[dict]:
+    """Render html to a flat word list (schema WORD_FIELDS). Deterministic."""
+    parser = _Collector()
+    parser.feed(html)
+    parser.close()
+
+    furniture = [(t, ws) for t, ws in parser.blocks if t in FURNITURE]
+    flow = [(t, ws) for t, ws in parser.blocks if t not in FURNITURE]
+
+    pages: list[list[dict]] = [[]]
+    y = CONTENT_TOP
+
+    def emit_line(out: list[dict], words: list[tuple[str, frozenset]], family: str,
+                  size: float, top: float, tag: str) -> None:
+        # pdfplumber with keep_blank_chars yields word chunks that carry
+        # their separating blanks; we mimic by giving every non-final word
+        # a trailing space (the segment text concat then reads naturally,
+        # and C4's strip() trims the line-final one).
+        x = MARGIN_X
+        for i, (text, marks) in enumerate(words):
+            font, is_link = _font_for(family, marks)
+            w = len(text) * 0.5 * size
+            chunk = text + (" " if i + 1 < len(words) else "")
+            out.append(
+                {
+                    "text": chunk, "x0": x, "x1": x + w, "top": top,
+                    "bottom": top + size, "fontname": font, "size": size,
+                    "upright": True, "is_link": is_link, "tag": tag,
+                }
+            )
+            x += w + 0.3 * size
+
+    def wrap(words: list[tuple[str, frozenset]], size: float) -> list[list]:
+        """Greedy wrap into lines that fit the content width."""
+        lines, cur, x = [], [], MARGIN_X
+        limit = PAGE_W - MARGIN_X
+        for text, marks in words:
+            w = len(text) * 0.5 * size
+            if cur and x + w > limit:
+                lines.append(cur)
+                cur, x = [], MARGIN_X
+            cur.append((text, marks))
+            x += w + 0.3 * size
+        if cur:
+            lines.append(cur)
+        return lines
+
+    for tag, words in flow:
+        family, size, gap = BLOCK_STYLE[tag]
+        lh = 1.2 * size
+        y += gap
+        for line_words in wrap(words, size):
+            if y + lh > CONTENT_BOTTOM:
+                pages.append([])
+                y = CONTENT_TOP
+            emit_line(pages[-1], line_words, family, size, y, tag)
+            y += lh
+
+    # page furniture on every page (drives cross-page boundary voting)
+    out: list[dict] = []
+    idx = 0
+    for pno, page_words in enumerate(pages, 1):
+        stamped: list[dict] = []
+        for t, ws in furniture:
+            if t == "header":
+                emit_line(stamped, ws, "Helvetica", 8.0, HEADER_TOP, t)
+            else:
+                emit_line(stamped, ws, "Helvetica", 8.0, FOOTER_BOTTOM - 8.0, t)
+        for w in stamped + page_words:
+            w = dict(w)
+            w["page"] = pno
+            w["word_idx"] = idx
+            idx += 1
+            out.append(w)
+    return out
+
+
+def plain_text(html: str) -> str:
+    """The pages.text column: whitespace-joined non-furniture words."""
+    parser = _Collector()
+    parser.feed(html)
+    parser.close()
+    parts = []
+    for tag, words in parser.blocks:
+        if tag in FURNITURE:
+            continue
+        parts.append(" ".join(w for w, _ in words))
+    return "\n".join(parts)

@@ -1,0 +1,123 @@
+"""Testdata table loaders + the oracle-checkable synthetic words table.
+
+The driver's correctness gate compares Spark results against DuckDB SQL
+over the same parquet tables (TESTDATA.md). The geometric operators need a
+*words* table, which testdata doesn't ship — so we derive one from
+``lineitem`` with pure arithmetic that is expressible identically in both
+engines (all values land on exact binary fractions: integers and .5
+steps, so Spark and DuckDB produce bit-identical doubles).
+
+Geometry contract (documented so expected clustering is computable):
+  url     = 'doc' || (l_orderkey % 50)
+  page    = (l_partkey % 3) + 1
+  line_no = l_suppkey % 12            (implicit; clustering must recover it)
+  top     = 72 + line_no*15 + (l_orderkey % 3)   -- jitter < y_tol=3
+  bottom  = top + 10                              -- inter-line gap >= 13 > 3
+  slot    = row_number within (url,page,line_no) by (l_orderkey,l_linenumber)
+  x0      = 72 + (slot-1)*50
+  x1      = x0 + 10 + l_quantity*0.5             -- gap to next >= 15 > x_tol
+  text    = l_returnflag || l_linenumber
+  fontname= A->'Times-Bold', N->'Times', R->'Helvetica'
+  size    = F->10.0, O->12.0
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def words_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic words DF (schema compatible with the tokenizer output)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.concat(F.lit("doc"), (F.col("l_orderkey") % 50).cast("string")).alias("url"),
+        ((F.col("l_partkey") % 3) + 1).cast("int").alias("page"),
+        (F.col("l_suppkey") % 12).cast("int").alias("line_no"),
+        (
+            F.lit(72.0)
+            + (F.col("l_suppkey") % 12).cast("double") * 15.0
+            + (F.col("l_orderkey") % 3).cast("double")
+        ).alias("top"),
+        F.concat(F.col("l_returnflag"), F.col("l_linenumber").cast("string")).alias(
+            "text"
+        ),
+        F.when(F.col("l_returnflag") == "A", F.lit("Times-Bold"))
+        .when(F.col("l_returnflag") == "N", F.lit("Times"))
+        .otherwise(F.lit("Helvetica"))
+        .alias("fontname"),
+        F.when(F.col("l_linestatus") == "F", F.lit(10.0)).otherwise(F.lit(12.0)).alias(
+            "size"
+        ),
+        F.lit(True).alias("upright"),
+        F.col("l_quantity").cast("double").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    ).withColumn("bottom", F.col("top") + 10.0)
+    slot_w = Window.partitionBy("url", "page", "line_no").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    idx_w = Window.partitionBy("url", "page").orderBy(
+        "line_no", "l_orderkey", "l_linenumber"
+    )
+    geo = (
+        base.withColumn("slot", F.row_number().over(slot_w))
+        .withColumn("word_idx", (F.row_number().over(idx_w) - 1).cast("long"))
+        .withColumn("x0", F.lit(72.0) + (F.col("slot") - 1).cast("double") * 50.0)
+        .withColumn("x1", F.col("x0") + 10.0 + F.col("qty") * 0.5)
+    )
+    return geo.select(
+        "url", "page", "word_idx", "text", "x0", "x1", "top", "bottom",
+        "fontname", "size", "upright",
+    ).withColumn("page_width", F.lit(612.0)).withColumn("page_height", F.lit(792.0))
+
+
+# The same table as a DuckDB CTE fragment. Append query SQL after it.
+WORDS_FROM_LINEITEM_SQL = """
+WITH _w0 AS (
+  SELECT
+    'doc' || CAST(l_orderkey % 50 AS VARCHAR) AS url,
+    CAST(l_partkey % 3 AS INT) + 1 AS page,
+    CAST(l_suppkey % 12 AS INT) AS line_no,
+    CAST(72 + (l_suppkey % 12) * 15 + (l_orderkey % 3) AS DOUBLE) AS top,
+    CAST(72 + (l_suppkey % 12) * 15 + (l_orderkey % 3) + 10 AS DOUBLE) AS bottom,
+    l_returnflag || CAST(l_linenumber AS VARCHAR) AS text,
+    CASE WHEN l_returnflag = 'A' THEN 'Times-Bold'
+         WHEN l_returnflag = 'N' THEN 'Times'
+         ELSE 'Helvetica' END AS fontname,
+    CASE WHEN l_linestatus = 'F' THEN CAST(10.0 AS DOUBLE)
+         ELSE CAST(12.0 AS DOUBLE) END AS size,
+    TRUE AS upright,
+    CAST(l_quantity AS DOUBLE) AS qty,
+    l_orderkey, l_linenumber
+  FROM lineitem
+), words AS (
+  SELECT url, page, line_no, top, bottom, text, fontname, size, upright,
+    CAST(ROW_NUMBER() OVER (PARTITION BY url, page ORDER BY line_no, l_orderkey, l_linenumber) - 1 AS BIGINT) AS word_idx,
+    CAST(72 + (ROW_NUMBER() OVER (PARTITION BY url, page, line_no ORDER BY l_orderkey, l_linenumber) - 1) * 50 AS DOUBLE) AS x0,
+    CAST(72 + (ROW_NUMBER() OVER (PARTITION BY url, page, line_no ORDER BY l_orderkey, l_linenumber) - 1) * 50 + 10 + qty * 0.5 AS DOUBLE) AS x1,
+    CAST(612.0 AS DOUBLE) AS page_width,
+    CAST(792.0 AS DOUBLE) AS page_height
+  FROM _w0
+)
+"""
+
+# SQL fragment: banker's rounding of (expr) to the nearest (step) — the
+# same floor+half-to-even correction the Spark side uses (functions/rounding.py)
+def sql_round_to_nearest(expr: str, step: str) -> str:
+    q = f"(({expr}) / ({step}))"
+    fl = f"FLOOR({q})"
+    return (
+        f"(CASE WHEN {q} - {fl} > 0.5 THEN {fl} + 1 "
+        f"WHEN {q} - {fl} < 0.5 THEN {fl} "
+        f"WHEN CAST({fl} AS BIGINT) % 2 = 0 THEN {fl} ELSE {fl} + 1 END) * ({step})"
+    )

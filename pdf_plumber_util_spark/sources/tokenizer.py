@@ -1,0 +1,78 @@
+"""Tokenizer: pages(html) -> words DataFrame (the S1 analog).
+
+The single mandatory pandas/Arrow UDF of the engine (input_hint: vectorized
+UDFs only). A scalar pandas_udf maps ``html:binary`` to an
+``array<struct<word>>``; ``posexplode`` flattens it. Because the UDF is a
+projection, the ``url`` attribute survives, so a ``repartition(url)``
+placed BEFORE tokenization is still recognized by Catalyst afterwards —
+every downstream window/groupBy keyed by a ``url`` prefix runs without
+further exchanges (verified in tests/test_plan_shape.py).
+
+Skew note (north_rule): giant documents are the UDF-stage skew unit. The
+pipeline repartitions by ``xxhash64(url, salt)`` where salt spreads known
+hot hosts; see plans/extract.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .render import layout_html
+
+WORD_STRUCT = StructType(
+    [
+        StructField("page", IntegerType()),
+        StructField("word_idx", LongType()),
+        StructField("text", StringType()),
+        StructField("x0", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("top", DoubleType()),
+        StructField("bottom", DoubleType()),
+        StructField("fontname", StringType()),
+        StructField("size", DoubleType()),
+        StructField("upright", BooleanType()),
+        StructField("is_link", BooleanType()),
+        StructField("tag", StringType()),
+    ]
+)
+
+WORD_SCHEMA = StructType(
+    [StructField("url", StringType())] + list(WORD_STRUCT.fields)
+)
+
+
+@F.pandas_udf(ArrayType(WORD_STRUCT))
+def _tokenize_udf(html: pd.Series) -> pd.Series:
+    return html.map(lambda b: layout_html(b.decode("utf-8", "replace")))
+
+
+def tokenize_pages(pages: DataFrame) -> DataFrame:
+    """pages -> one row per word. Columns: url + WORD_STRUCT fields +
+    page_width/page_height (constant for the synthetic renderer)."""
+    words = (
+        pages.select("url", F.posexplode(_tokenize_udf("html")).alias("_pos", "w"))
+        .select("url", "w.*")
+    )
+    return words.withColumn("page_width", F.lit(612.0)).withColumn(
+        "page_height", F.lit(792.0)
+    )
+
+
+def page_dims(words: DataFrame) -> DataFrame:
+    """(url, page, page_width, page_height) helper table."""
+    return words.groupBy("url", "page").agg(
+        F.first("page_width").alias("page_width"),
+        F.first("page_height").alias("page_height"),
+    )
