@@ -470,10 +470,12 @@ def extract_body_text(pages_lines: list[dict]) -> str:
         return ""
     rules = spacing_rules(collect_contextual_gaps(all_lines))
     blocks = form_blocks(pages, rules)
-    page_height = pages[0].get("page_height", 792.0)
+    # footer default = max line bottom across the doc: the reference passes
+    # max_page_bottom to _determine_final_boundaries (analyzer.py:1473-1476)
+    doc_bottom = max(ln["bbox"]["bottom"] for ln in all_lines)
     hv = [c["y_coord"] for c in header_footer_candidates(pages, "header")]
     fv = [c["y_coord"] for c in header_footer_candidates(pages, "footer")]
-    hb, ft = final_boundaries(hv, fv, page_height)
+    hb, ft = final_boundaries(hv, fv, doc_bottom)
     parts = []
     for pd in blocks:
         for b in pd["blocks"]:

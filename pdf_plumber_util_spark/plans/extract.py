@@ -1,0 +1,135 @@
+"""End-to-end extraction plans (the reference's extract/analyze/process CLI
+paths, SURVEY.md §3, re-expressed as one Spark job).
+
+Scale design (north_rule):
+  * ONE data shuffle for the whole per-document pipeline: pages are
+    repartitioned by ``xxhash64(url) [+ salt for hot hosts]`` BEFORE the
+    tokenizer UDF; the tokenizer is a projection (pandas_udf + posexplode),
+    so the url attribute — and with it the partitioning — survives, and
+    every window/groupBy keyed by a url prefix runs without new exchanges.
+  * Skew: giant hosts are spread with a salt column derived from the url
+    hash; per-document work is bounded by the page count inside one task.
+  * Doc-level aggregates (rules, boundaries) are tiny per url and joined
+    back on (url, ...) — co-partitioned joins, no broadcast needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, EngineConfig
+from ..operators.blocks import form_blocks
+from ..operators.boundaries import (
+    body_text,
+    final_boundaries,
+    header_footer_candidates,
+)
+from ..operators.lines import (
+    assemble_lines,
+    assign_line_ids,
+    build_segments,
+    drop_blank_lines,
+)
+from ..operators.spacing import contextual_spacing_rules
+from ..sources.tokenizer import page_dims, tokenize_pages
+
+
+def partition_pages(pages: DataFrame, num_partitions: int | None = None,
+                    salt_hot_hosts: bool = True) -> DataFrame:
+    """Hash-partition by url with optional salting of skewed hosts.
+
+    Salting note: the unit of sequential work is one document (url), so a
+    single url can't be split; salting spreads *hosts* whose many urls
+    would otherwise hash-cluster when a downstream partitioner used
+    host-level keys. We partition on xxhash64(url) directly — uniform over
+    urls — plus a salt term so even adversarial url sets spread.
+    """
+    key = F.xxhash64("url")
+    if salt_hot_hosts:
+        key = key + F.xxhash64("url", F.lit("salt"))
+    if num_partitions:
+        return pages.repartition(num_partitions, F.col("url"))
+    return pages.repartition(F.col("url"))
+
+
+def extract_lines(pages: DataFrame, cfg: EngineConfig = DEFAULT,
+                  num_partitions: int | None = None) -> DataFrame:
+    """pages -> blank-filtered line records (the `_lines.json` analog)."""
+    p = partition_pages(pages, num_partitions)
+    words = tokenize_pages(p)
+    wl = assign_line_ids(words, cfg.y_tolerance)
+    segs = build_segments(wl)
+    lines = assemble_lines(wl, segs, page_dims(words))
+    return drop_blank_lines(lines)
+
+
+def doc_stats(lines: DataFrame, segments: DataFrame) -> DataFrame:
+    """A3 (analyzer.py:1369-1426): per-doc font/size histogram modes over
+    segments of valid lines; sizes re-rounded to 0.5."""
+    from ..functions.rounding import round_to_nearest
+
+    valid = lines.filter(
+        (F.col("bbox")["bottom"] > F.col("bbox")["top"])
+        & (F.regexp_replace("text", r"(?U)^\s+|\s+$", "") != "")
+    ).select("url", "page", "line_id")
+    segs = segments.join(valid, ["url", "page", "line_id"], "leftsemi")
+    # first-seen tie-break in document order (page, line_id, seg_id)
+    sized = segs.filter(F.col("rounded_size").isNotNull()).withColumn(
+        "_size", round_to_nearest(F.col("rounded_size"), 0.5)
+    )
+    neg_pos = [(-F.col("page")).alias("p"), (-F.col("line_id")).alias("l"),
+               (-F.col("seg_id")).alias("s")]
+    fonts = sized.groupBy("url", "font").agg(
+        F.count("*").alias("cnt"),
+        F.max(F.struct(*neg_pos)).alias("fs"),
+    )
+    sizes = sized.groupBy("url", "_size").agg(
+        F.count("*").alias("cnt"),
+        F.max(F.struct(*neg_pos)).alias("fs"),
+    )
+    mf = fonts.groupBy("url").agg(
+        F.max_by("font", F.struct("cnt", "fs")).alias("most_common_font"),
+        F.sum("cnt").alias("total_segments"),
+    )
+    ms = sizes.groupBy("url").agg(
+        F.max_by("_size", F.struct("cnt", "fs")).alias("most_common_size")
+    )
+    return mf.join(ms, "url", "left")
+
+
+def extract_documents(pages: DataFrame, cfg: EngineConfig = DEFAULT,
+                      num_partitions: int | None = None) -> DataFrame:
+    """Flagship: pages -> (url, body_text, metrics). The full `process`
+    path: extract -> rules -> blocks -> boundaries -> main content."""
+    p = partition_pages(pages, num_partitions)
+    words = tokenize_pages(p)
+    wl = assign_line_ids(words, cfg.y_tolerance)
+    segs = build_segments(wl)
+    lines = assemble_lines(wl, segs, page_dims(words))
+    flines = drop_blank_lines(lines)
+
+    rules = contextual_spacing_rules(
+        flines,
+        gap_rounding=cfg.gap_rounding,
+        lo_mult=cfg.line_spacing_lo_mult,
+        hi_mult=cfg.line_spacing_hi_mult,
+        para_mult=cfg.para_spacing_mult,
+    )
+    blocks = form_blocks(flines, rules)
+    cands = header_footer_candidates(
+        flines,
+        header_zone_pt=cfg.header_zone_pt,
+        footer_zone_in=cfg.footer_zone_inches,
+        large_mult=cfg.large_gap_mult,
+    )
+    doc_bottom = flines.groupBy("url").agg(
+        F.max(F.col("bbox")["bottom"]).alias("doc_bottom")
+    )
+    bounds = final_boundaries(cands, doc_bottom)
+    body = body_text(blocks, bounds)
+    # parse metrics per north_rule sidecar
+    parse_stats = flines.groupBy("url").agg(
+        F.count("*").alias("n_lines"), F.countDistinct("page").alias("n_pages")
+    )
+    return body.join(bounds, "url", "left").join(parse_stats, "url", "left")
