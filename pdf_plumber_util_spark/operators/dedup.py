@@ -1,0 +1,167 @@
+"""Deduplication operators for the training-data pipeline.
+
+Scale notes (the design constraint, per the task brief):
+  * exact dedup: hash-groupBy on a fingerprint — one shuffle keyed by the
+    md5, which is uniform by construction (no skew).
+  * MinHash+LSH: shingle -> per-seed min-hash -> band keys -> candidates
+    join on (band_idx, band_key). The band join is self-equi-join on a
+    uniformly distributed key; AQE's skew join handles pathological bands
+    (e.g. empty-text clusters). Hashes are md5 hex strings, whose
+    lexicographic min is a valid uniform min-hash and is portable to the
+    DuckDB oracle verbatim.
+  * SimHash: 64-bit signature from the md5 of each shingle; hamming
+    distance via xor+bit_count on the bigint signature.
+  * n-gram Jaccard: exact pairwise verification for candidate pairs (or a
+    bounded id-range) via distinct-shingle semi-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_line
+
+
+def _norm(col):
+    return normalize_line(F.lower(col))
+
+
+def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per doc: (doc_id, shingle)."""
+    toks = F.split(_norm(F.col("text")), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup on normalized-text md5: per doc its canonical doc
+    (min doc_id in the group) and group size."""
+    fp = docs.select("doc_id", F.md5(_norm(F.col("text"))).alias("fingerprint"))
+    grp = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return fp.join(grp, "fingerprint").select(
+        "doc_id", "fingerprint", "canonical_id",
+        F.col("group_size").cast("long").alias("group_size"),
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 8, k: int = 3) -> DataFrame:
+    """(doc_id, seed, min_hash): per-seed min of md5(seed||':'||shingle)."""
+    sh = doc_shingles(docs, k)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "shingle",
+    )
+    h = F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle")))
+    return seeded.select("doc_id", "seed", h.alias("h")).groupBy(
+        "doc_id", "seed"
+    ).agg(F.min("h").alias("min_hash"))
+
+
+def lsh_bands(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
+              k: int = 3) -> DataFrame:
+    """(doc_id, band_idx, band_key): md5 over the band's concatenated
+    min-hashes. Docs sharing any band key are near-dup candidates."""
+    sig = minhash_signatures(docs, num_hashes, k)
+    banded = sig.withColumn("band_idx", (F.col("seed") / band_size).cast("int"))
+    return banded.groupBy("doc_id", "band_idx").agg(
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("seed").cast("string"), "min_hash")
+        )))).alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8,
+                        band_size: int = 2, k: int = 3) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing >= 1 band."""
+    bands = lsh_bands(docs, num_hashes, band_size, k)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared_bands"))
+    )
+
+
+def ngram_jaccard(docs: DataFrame, k: int = 3, max_doc_id: int | None = None) -> DataFrame:
+    """Exact Jaccard over distinct word k-grams for doc pairs that share at
+    least one shingle (optionally bounded to doc_id < max_doc_id)."""
+    sh = doc_shingles(docs, k)
+    if max_doc_id is not None:
+        sh = sh.filter(F.col("doc_id") < max_doc_id)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+            .alias("jaccard"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, k: int = 3) -> DataFrame:
+    """64-bit SimHash per doc from shingle md5s, JVM-side.
+
+    bit_j(signature) = 1 iff sum over shingles of (2*bit_j(md5) - 1) > 0.
+    The 64 bits come from the first 16 hex chars of the md5 (4 bits each),
+    decoded with conv(). Output also as a bit string for portability.
+    """
+    sh = doc_shingles(docs, k)
+    h16 = F.substring(F.md5("shingle"), 1, 16)
+    # nibble values: 16 rows per shingle
+    nib = sh.select(
+        "doc_id",
+        F.posexplode(F.split(h16, "(?!$)")).alias("nib_idx", "hex_char"),
+    ).withColumn("nib_val", F.conv("hex_char", 16, 10).cast("int"))
+    # 4 bits per nibble
+    bits = nib.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("bit_in_nib"),
+        "nib_idx",
+        "nib_val",
+    ).select(
+        "doc_id",
+        (F.col("nib_idx") * 4 + F.col("bit_in_nib")).alias("bit_idx"),
+        (
+            F.when(
+                F.shiftright(F.col("nib_val"), (3 - F.col("bit_in_nib")).cast("int"))
+                % 2
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias("vote"),
+    )
+    sig_bits = bits.groupBy("doc_id", "bit_idx").agg(
+        F.when(F.sum("vote") > 0, F.lit("1")).otherwise(F.lit("0")).alias("bit")
+    )
+    return sig_bits.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bit_idx", "bit"))),
+                lambda s: s["bit"],
+            ),
+        ).alias("simhash_bits")
+    )

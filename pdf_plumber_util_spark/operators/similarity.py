@@ -1,0 +1,104 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Brute-force cosine top-k is the correctness baseline; the scale path
+buckets vectors by SimHash-style random hyperplanes (deterministic seeded
+projections) so candidate generation is a bucket join instead of a full
+cross product. Dot products run JVM-side via zip_with + aggregate
+(sequential fold -> bit-identical to the DuckDB list_dot_product oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def with_norm(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    v = F.transform(F.col(col), lambda x: x.cast("double"))
+    return emb.withColumn("_v", v).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+
+
+def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k: for each query vec_id, the k nearest other
+    vectors. Deterministic tie-break (sim desc, vec_id asc)."""
+    base = with_norm(emb)
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    cand = base.select("vec_id", "_v", "_norm")
+    # queries are a tiny set -> broadcast, no shuffle of the big side
+    joined = cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    sim = joined.select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("_qv"), F.col("_v")) / (F.col("_qnorm") * F.col("_norm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine")
+    )
+
+
+def hyperplane_buckets(emb: DataFrame, n_planes: int = 8) -> DataFrame:
+    """LSH bucketing by deterministic pseudo-random hyperplanes.
+
+    Plane p's component for dimension d is derived from xxhash64(p, d),
+    mapped to {-1, +1} — no driver-side randomness, cluster-size invariant.
+    Bucket = bit string of sign(v . plane_p).
+    """
+    dims = F.sequence(F.lit(0), F.size("_v") - 1)
+    base = with_norm(emb)
+
+    def plane_bit(p: int):
+        comp = F.zip_with(
+            F.col("_v"),
+            dims,
+            lambda x, d: x
+            * F.when(F.pmod(F.xxhash64(F.lit(p), d), F.lit(2)) == 0, 1.0).otherwise(-1.0),
+        )
+        s = F.aggregate(comp, F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    bucket = F.concat(*[plane_bit(p) for p in range(n_planes)])
+    return base.select("vec_id", bucket.alias("bucket"), "_v", "_norm")
+
+
+def bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+                  n_planes: int = 6) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket.
+    At 100 TB this turns O(N*Q) into a co-partitioned bucket join."""
+    b = hyperplane_buckets(emb, n_planes)
+    q = b.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket"),
+        F.col("_v").alias("_qv"),
+        F.col("_qnorm2").alias("_qnorm") if "_qnorm2" in b.columns else F.col("_norm").alias("_qnorm"),
+    )
+    joined = b.join(F.broadcast(q), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = joined.select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("_qv"), F.col("_v")) / (F.col("_qnorm") * F.col("_norm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine")
+    )

@@ -1,0 +1,91 @@
+"""Text-analysis operators for the training-data pipeline over `documents`.
+
+All JVM-side (no UDFs): token counting, quality scoring, language ID
+(stopword-hit heuristic), and document fingerprinting. Each has a DuckDB
+oracle in contract.py. A18 (token counting) generalizes the reference's
+utils/token_counter.py:86-184; normalization is O3 (utils/helpers.py:16-18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_line
+
+# tiny per-language stopword lists (shared verbatim with the SQL oracles)
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """A18: whitespace tokens + BPE-ish subword proxy + char count."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # BPE-ish: alnum runs and single punctuation marks
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(bpe).cast("long").alias("n_subtokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Quality heuristics: mean word length, stopword ratio, punct ratio."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks)
+    sw = "|".join(LANG_STOPWORDS["en"])
+    n_stop = F.size(F.regexp_extract_all(F.lower("text"), F.lit(rf"\b({sw})\b"), 0))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    n_alpha = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]"), 0))
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        (F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / n_tok).alias(
+            "mean_word_len"
+        ),
+        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+        (n_punct.cast("double") / F.length("text")).alias("punct_ratio"),
+        (n_alpha.cast("double") / F.length("text")).alias("alpha_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """n-gram-free language ID: argmax stopword-hit count per language,
+    deterministic tie-break by language code."""
+    lower = F.lower("text")
+    scores = [
+        F.struct(
+            F.size(
+                F.regexp_extract_all(lower, F.lit(rf"\b({'|'.join(ws)})\b"), 0)
+            ).alias("hits"),
+            # tie-break: higher struct wins on hits, then LOWER code wins ->
+            # invert code ordering via a rank literal
+            F.lit(-i).alias("rank"),
+            F.lit(code).alias("code"),
+        )
+        for i, (code, ws) in enumerate(sorted(LANG_STOPWORDS.items()))
+    ]
+    best = F.greatest(*scores)
+    return docs.select(
+        "doc_id",
+        best["code"].alias("pred_lang"),
+        best["hits"].cast("long").alias("hits"),
+        "lang",
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over O3-normalized text (portable across
+    engines), plus a 16-hex-char prefix as a 64-bit-ish bucket key."""
+    norm = normalize_line(F.lower("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 8).alias("fp_bucket"),
+    )

@@ -63,12 +63,13 @@ def words_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     ).withColumn("bottom", F.col("top") + 10.0)
-    slot_w = Window.partitionBy("url", "page", "line_no").orderBy(
-        "l_orderkey", "l_linenumber"
-    )
-    idx_w = Window.partitionBy("url", "page").orderBy(
-        "line_no", "l_orderkey", "l_linenumber"
-    )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem;
+    # extend the sort key with every generation-relevant column so the
+    # order is deterministic (residual ties are full attribute duplicates,
+    # which yield identical words either way)
+    order_cols = ["l_orderkey", "l_linenumber", "qty", "text", "size"]
+    slot_w = Window.partitionBy("url", "page", "line_no").orderBy(*order_cols)
+    idx_w = Window.partitionBy("url", "page").orderBy("line_no", *order_cols)
     geo = (
         base.withColumn("slot", F.row_number().over(slot_w))
         .withColumn("word_idx", (F.row_number().over(idx_w) - 1).cast("long"))
@@ -102,9 +103,9 @@ WITH _w0 AS (
   FROM lineitem
 ), words AS (
   SELECT url, page, line_no, top, bottom, text, fontname, size, upright,
-    CAST(ROW_NUMBER() OVER (PARTITION BY url, page ORDER BY line_no, l_orderkey, l_linenumber) - 1 AS BIGINT) AS word_idx,
-    CAST(72 + (ROW_NUMBER() OVER (PARTITION BY url, page, line_no ORDER BY l_orderkey, l_linenumber) - 1) * 50 AS DOUBLE) AS x0,
-    CAST(72 + (ROW_NUMBER() OVER (PARTITION BY url, page, line_no ORDER BY l_orderkey, l_linenumber) - 1) * 50 + 10 + qty * 0.5 AS DOUBLE) AS x1,
+    CAST(ROW_NUMBER() OVER (PARTITION BY url, page ORDER BY line_no, l_orderkey, l_linenumber, qty, text, size) - 1 AS BIGINT) AS word_idx,
+    CAST(72 + (ROW_NUMBER() OVER (PARTITION BY url, page, line_no ORDER BY l_orderkey, l_linenumber, qty, text, size) - 1) * 50 AS DOUBLE) AS x0,
+    CAST(72 + (ROW_NUMBER() OVER (PARTITION BY url, page, line_no ORDER BY l_orderkey, l_linenumber, qty, text, size) - 1) * 50 + 10 + qty * 0.5 AS DOUBLE) AS x1,
     CAST(612.0 AS DOUBLE) AS page_width,
     CAST(792.0 AS DOUBLE) AS page_height
   FROM _w0
