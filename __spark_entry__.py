@@ -27,11 +27,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_plumber_util_spark.contract import QUERIES
+    from pdf_plumber_util_spark.contract_extra import EXTRA_QUERIES
 
-    return dict(QUERIES)
+    return {**QUERIES, **EXTRA_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     from pdf_plumber_util_spark.contract import ORACLES
+    from pdf_plumber_util_spark.contract_extra import EXTRA_ORACLES
 
-    return dict(ORACLES)
+    return {**ORACLES, **EXTRA_ORACLES}

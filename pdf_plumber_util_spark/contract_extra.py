@@ -1,0 +1,502 @@
+"""Driver-contract queries part 2: training-data pipeline ops + remaining
+SURVEY §2 aggregations, each with a DuckDB oracle where SQL-expressible.
+Merged into __spark_entry__ via contract.QUERIES/ORACLES update.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .contract import _LINES_SQL, _sql_py_round, sql_round_to
+from .sources.tables import WORDS_FROM_LINEITEM_SQL
+from .functions.rounding import py_round
+from .operators import dedup, similarity, stats, text_analysis
+from .operators.patterns import scan_patterns
+from .operators.sampling import (
+    sample_header_footer_groups,
+    sample_sections_stratified,
+    sample_toc,
+)
+from .sources.tables import load_table, words_from_lineitem
+
+# shared normalized-token CTE over documents (mirrors dedup._norm)
+_DOCS_TOKS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    regexp_split_to_array(
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t,
+    text
+  FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (
+    SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+    FROM toks WHERE len(t) >= 3
+  )
+)
+"""
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_bands(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("band_idx").cast("long").alias("band_idx"), "band_key"
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard(load_table(spark, sf_dir, "documents"), max_doc_id=60)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check (pair count depends on minhash collisions; values
+    # verified indirectly through q_minhash_bands)
+    return dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=5
+    )
+    return out.select(
+        "query_id", "rank", "vec_id",
+        (py_round(F.col("cosine") * 1e6) / 1e6).alias("cosine_r"),
+    )
+
+
+def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate path: rows-only (bucket membership is the contract)
+    return similarity.bucketed_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=5
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        (py_round(F.sum("value") * 1e4) / 1e4).alias("sum_value_r"),
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = ts_us - F.lag(ts_us).over(w)
+    flag = F.when(gap_us > 1800 * 1_000_000, 1).otherwise(0)
+    df = ev.withColumn("session_id", F.sum(flag).over(w))
+    return df.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("long").alias("n_sessions"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+def q_font_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.font_key_aggregation(words_from_lineitem(spark, sf_dir))
+
+
+def q_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.page_margins(words_from_lineitem(spark, sf_dir))
+
+
+def q_font_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.font_sets(words_from_lineitem(spark, sf_dir))
+
+
+def _contract_lines(spark, sf_dir):
+    from .contract import _lines_df
+
+    return _lines_df(spark, sf_dir)[0]
+
+
+def q_method_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.extraction_method_stats(_contract_lines(spark, sf_dir))
+
+
+def q_vertical_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.vertical_regions(_contract_lines(spark, sf_dir))
+
+
+def q_word_y_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.word_y_distances(words_from_lineitem(spark, sf_dir))
+
+
+def q_spacing_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.spacing_histograms(_contract_lines(spark, sf_dir))
+
+
+def q_spacing_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.spacing_occurrences(_contract_lines(spark, sf_dir))
+
+
+_TEST_PATTERNS = {
+    "flag_token": ("token", r"\b[ANR]\d+\b"),
+    "a_token": ("token", r"\bA\d+\b"),
+    "token_pair": ("token", r"[A-Z]\d+ [A-Z]\d+"),
+}
+
+
+def q_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _contract_lines(spark, sf_dir)
+    m = scan_patterns(lines, registry=_TEST_PATTERNS)
+    return m.groupBy("url", "pattern_name", "pattern_type").agg(
+        F.count("*").cast("long").alias("n_matches")
+    )
+
+
+def _doc_pages(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("d"), (F.col("doc_id") % 20).cast("string")).alias("url"),
+        F.col("doc_id").cast("int").alias("page"),
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_sections_stratified(_doc_pages(spark, sf_dir)).select(
+        "url", "page", F.col("tercile").cast("long").alias("tercile")
+    )
+
+
+def q_sample_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_toc(_doc_pages(spark, sf_dir))
+
+
+def q_sample_hf_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # greedy overlap-free grouping: rows-only (applyInPandas, M1)
+    return sample_header_footer_groups(_doc_pages(spark, sf_dir))
+
+
+EXTRA_QUERIES = {
+    "a18_token_counts": q_token_counts,
+    "t1_quality": q_quality,
+    "t2_lang_id": q_lang_id,
+    "d1_exact_dedup": q_exact_dedup,
+    "d2_minhash_bands": q_minhash_bands,
+    "d3_ngram_jaccard": q_ngram_jaccard,
+    "d4_simhash": q_simhash,
+    "d5_lsh_pairs": q_lsh_pairs,
+    "s1_cosine_topk": q_cosine_topk,
+    "s2_ann_bucketed": q_ann_bucketed,
+    "e1_events_hourly": q_events_hourly,
+    "e2_events_sessions": q_events_sessions,
+    "a12_font_keys": q_font_keys,
+    "a13_margins": q_margins,
+    "a15_font_sets": q_font_sets,
+    "a17_method_stats": q_method_stats,
+    "w4_vertical_regions": q_vertical_regions,
+    "w5_word_y_dist": q_word_y_dist,
+    "a14_spacing_hist": q_spacing_hist,
+    "v2_spacing_occurrences": q_spacing_occurrences,
+    "r2_pattern_scan": q_pattern_scan,
+    "m2_sample_stratified": q_sample_stratified,
+    "m3_sample_toc": q_sample_toc,
+    "m1_sample_hf_groups": q_sample_hf_groups,
+}
+
+
+# ---------------------------------------------------------------- oracles
+
+_SW = "the|a|of|and|to"
+
+EXTRA_ORACLES = {
+    "a18_token_counts": r"""
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subtokens,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+    "t1_quality": rf"""
+SELECT doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / n_tokens AS mean_word_len,
+  CAST(len(regexp_extract_all(lower(text), '\b({_SW})\b')) AS DOUBLE) / n_tokens AS stopword_ratio,
+  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / length(text) AS punct_ratio,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) AS alpha_ratio
+FROM (
+  SELECT *, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+)
+""",
+    "t2_lang_id": r"""
+SELECT doc_id, lang,
+  FIRST(code ORDER BY hits DESC, code ASC) AS pred_lang,
+  CAST(FIRST(hits ORDER BY hits DESC, code ASC) AS BIGINT) AS hits
+FROM (
+  SELECT doc_id, lang, 'de' AS code,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht)\b')) AS hits FROM documents
+  UNION ALL
+  SELECT doc_id, lang, 'en',
+    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) FROM documents
+  UNION ALL
+  SELECT doc_id, lang, 'es',
+    len(regexp_extract_all(lower(text), '\b(el|la|de|y|que)\b')) FROM documents
+  UNION ALL
+  SELECT doc_id, lang, 'fr',
+    len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) FROM documents
+) GROUP BY doc_id, lang
+""",
+    "d1_exact_dedup": r"""
+WITH fp AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+), grp AS (
+  SELECT fingerprint, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+  FROM fp GROUP BY fingerprint
+)
+SELECT f.doc_id, f.fingerprint, g.canonical_id,
+  CAST(g.group_size AS BIGINT) AS group_size,
+  f.doc_id <> g.canonical_id AS is_duplicate
+FROM fp f JOIN grp g USING (fingerprint)
+""",
+    "d2_minhash_bands": _DOCS_TOKS_SQL + r"""
+, seeded AS (
+  SELECT doc_id, s.seed,
+    MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS min_hash
+  FROM shingles, generate_series(0, 7) AS s(seed)
+  GROUP BY doc_id, s.seed
+)
+SELECT doc_id, CAST(seed // 2 AS BIGINT) AS band_idx,
+  md5(STRING_AGG(CAST(seed AS VARCHAR) || ':' || min_hash, '|' ORDER BY seed)) AS band_key
+FROM seeded GROUP BY doc_id, seed // 2
+""",
+    "d3_ngram_jaccard": _DOCS_TOKS_SQL + r"""
+, sh AS (SELECT * FROM shingles WHERE doc_id < 60),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+  CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+""",
+    "d4_simhash": _DOCS_TOKS_SQL + r"""
+, nib AS (
+  SELECT doc_id, shingle, i.i AS nib_idx,
+    strpos('0123456789abcdef', substr(md5(shingle), CAST(i.i AS INT), 1)) - 1 AS nv
+  FROM shingles, generate_series(1, 16) AS i(i)
+), bits AS (
+  SELECT doc_id, (nib_idx - 1) * 4 + j.j AS bit_idx,
+    CASE WHEN CAST(FLOOR(nv / POWER(2, 3 - j.j)) AS BIGINT) % 2 = 1
+         THEN 1 ELSE -1 END AS vote
+  FROM nib, generate_series(0, 3) AS j(j)
+), sig AS (
+  SELECT doc_id, bit_idx,
+    CASE WHEN SUM(vote) > 0 THEN '1' ELSE '0' END AS bit
+  FROM bits GROUP BY doc_id, bit_idx
+)
+SELECT doc_id, STRING_AGG(bit, '' ORDER BY bit_idx) AS simhash_bits
+FROM sig GROUP BY doc_id
+""",
+    "s1_cosine_topk": f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id IN (0, 1, 2)
+), sims AS (
+  SELECT q.query_id, n.vec_id,
+    list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) AS cosine
+  FROM q JOIN n ON n.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+  {_sql_py_round('cosine * 1000000.0')} / 1000000.0 AS cosine_r
+FROM ranked WHERE rank <= 5
+""",
+    "e1_events_hourly": f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  {_sql_py_round('SUM(value) * 10000.0')} / 10000.0 AS sum_value_r
+FROM events GROUP BY 1, 2
+""",
+    "e2_events_sessions": """
+WITH flagged AS (
+  SELECT user_id, event_id,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+  CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM flagged GROUP BY user_id
+""",
+    "a12_font_keys": WORDS_FROM_LINEITEM_SQL + """
+, keyed AS (
+  SELECT url, page,
+    split_part(fontname, '-', 1) || '|' || CAST(size AS VARCHAR) || '|' ||
+    (CASE WHEN contains(fontname, 'Bold') AND
+               (contains(fontname, 'Italic') OR contains(fontname, 'Oblique'))
+          THEN 'Bold+Italic'
+          WHEN contains(fontname, 'Bold') THEN 'Bold'
+          WHEN contains(fontname, 'Italic') OR contains(fontname, 'Oblique')
+          THEN 'Italic'
+          ELSE 'Regular' END) AS font_key
+  FROM words
+), agg AS (
+  SELECT url, font_key, CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(COUNT(DISTINCT page) AS BIGINT) AS n_pages
+  FROM keyed GROUP BY url, font_key
+)
+SELECT url, font_key, n_words, n_pages,
+  CAST(ROW_NUMBER() OVER (PARTITION BY url ORDER BY n_words DESC, font_key ASC)
+       AS BIGINT) AS rank
+FROM agg
+""",
+    "a13_margins": WORDS_FROM_LINEITEM_SQL + """
+SELECT url, page, MIN(x0) AS min_x0, MAX(x1) AS max_x1,
+  MIN(top) AS min_top, MAX(bottom) AS max_bottom
+FROM words GROUP BY url, page
+""",
+    "a15_font_sets": WORDS_FROM_LINEITEM_SQL + """
+SELECT url, fontname AS font,
+  STRING_AGG(DISTINCT CAST(size AS VARCHAR), ',' ORDER BY CAST(size AS VARCHAR))
+    AS sizes
+FROM words GROUP BY url, fontname
+""",
+    "a17_method_stats": _LINES_SQL + """
+, per_page AS (
+  SELECT url, page, COUNT(*) AS n_lines FROM lines GROUP BY url, page
+)
+SELECT url, CAST(COUNT(*) AS BIGINT) AS n_pages,
+  CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+  AVG(n_lines) AS avg_lines_per_page
+FROM per_page GROUP BY url
+""",
+    "w4_vertical_regions": _LINES_SQL + """
+SELECT url, page, line_number,
+  btop - COALESCE(LAG(bbot) OVER (PARTITION BY url, page ORDER BY line_number), 0.0)
+    AS unused,
+  bbot - btop AS used,
+  bx0 AS left_indent,
+  612.0 - bx1 AS right_indent
+FROM lines
+""",
+    "w5_word_y_dist": WORDS_FROM_LINEITEM_SQL + """
+SELECT url, page, word_idx,
+  top - LAG(top) OVER w AS y0_dist,
+  top - LAG(bottom) OVER w AS y_gap
+FROM words
+WINDOW w AS (PARTITION BY url, page ORDER BY top, word_idx)
+""",
+    "a14_spacing_hist": _LINES_SQL + f"""
+, q AS (
+  SELECT url, page,
+    {sql_round_to('gap_before', 0.25)} AS unused_q
+  FROM lines
+)
+SELECT url, unused_q, page, CAST(COUNT(*) AS BIGINT) AS n,
+  CASE WHEN page IS NULL THEN 'doc' ELSE 'page' END AS level
+FROM q
+GROUP BY GROUPING SETS ((url, unused_q, page), (url, unused_q))
+""",
+    "v2_spacing_occurrences": _LINES_SQL + f"""
+, per AS (
+  SELECT url, {sql_round_to('gap_before', 0.5)} AS spacing,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM lines WHERE gap_before > 0
+  GROUP BY url, {sql_round_to('gap_before', 0.5)}
+)
+SELECT url, spacing, n,
+  CAST(ROW_NUMBER() OVER (PARTITION BY url ORDER BY n DESC, spacing ASC) AS BIGINT)
+    AS color_rank
+FROM per
+""",
+    "r2_pattern_scan": _LINES_SQL + r"""
+, pats AS (
+  SELECT * FROM (VALUES
+    ('flag_token', 'token', '\b[ANR]\d+\b'),
+    ('a_token', 'token', '\bA\d+\b'),
+    ('token_pair', 'token', '[A-Z]\d+ [A-Z]\d+')
+  ) AS t(pattern_name, pattern_type, rx)
+)
+SELECT l.url, p.pattern_name, p.pattern_type,
+  CAST(SUM(len(regexp_extract_all(l.text, p.rx))) AS BIGINT) AS n_matches
+FROM lines l CROSS JOIN pats p
+WHERE trim(l.text) <> ''
+GROUP BY l.url, p.pattern_name, p.pattern_type
+HAVING SUM(len(regexp_extract_all(l.text, p.rx))) > 0
+""",
+    "m2_sample_stratified": """
+WITH pages AS (
+  SELECT 'd' || CAST(doc_id % 20 AS VARCHAR) AS url, CAST(doc_id AS INT) AS page
+  FROM documents
+), pos AS (
+  SELECT url, page,
+    ROW_NUMBER() OVER (PARTITION BY url ORDER BY page) AS rn,
+    COUNT(*) OVER (PARTITION BY url) AS n
+  FROM pages
+), terced AS (
+  SELECT *,
+    LEAST(3, CAST(CEIL(rn * 3.0 / n) AS INT)) AS tercile,
+    GREATEST(10, CAST(CEIL(n * 0.15) AS INT)) AS target
+  FROM pos
+), quota AS (
+  SELECT *,
+    CAST(CASE WHEN tercile = 1 THEN CEIL(target * 0.6)
+              WHEN tercile = 2 THEN CEIL(target * 0.3)
+              ELSE CEIL(target * 0.1) END AS INT) AS q,
+    ROW_NUMBER() OVER (PARTITION BY url, tercile
+      ORDER BY md5(url || ':' || CAST(page AS VARCHAR) || ':m2'), page) AS hr
+  FROM terced
+)
+SELECT url, page, CAST(tercile AS BIGINT) AS tercile
+FROM quota WHERE hr <= q
+""",
+    "m3_sample_toc": """
+WITH pages AS (
+  SELECT 'd' || CAST(doc_id % 20 AS VARCHAR) AS url, CAST(doc_id AS INT) AS page
+  FROM documents
+), pos AS (
+  SELECT url, page, ROW_NUMBER() OVER (PARTITION BY url ORDER BY page) AS rn
+  FROM pages
+), tail AS (
+  SELECT url, page,
+    COUNT(*) OVER (PARTITION BY url) AS tn,
+    ROW_NUMBER() OVER (PARTITION BY url
+      ORDER BY md5(url || ':' || CAST(page AS VARCHAR) || ':m3'), page) AS hr
+  FROM pos WHERE rn > 20
+)
+SELECT url, page, 'head' AS part FROM pos WHERE rn <= 20
+UNION ALL
+SELECT url, page, 'tail' AS part FROM tail WHERE hr <= CEIL(tn * 0.10)
+""",
+}

@@ -30,12 +30,15 @@ def _norm(col):
 def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     """Distinct word k-gram shingles per doc: (doc_id, shingle)."""
     toks = F.split(_norm(F.col("text")), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    # guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not empty
+    sh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -146,7 +149,9 @@ def simhash(docs: DataFrame, k: int = 3) -> DataFrame:
         (F.col("nib_idx") * 4 + F.col("bit_in_nib")).alias("bit_idx"),
         (
             F.when(
-                F.shiftright(F.col("nib_val"), (3 - F.col("bit_in_nib")).cast("int"))
+                F.floor(
+                    F.col("nib_val") / F.pow(F.lit(2.0), 3 - F.col("bit_in_nib"))
+                ).cast("long")
                 % 2
                 == 1,
                 1,

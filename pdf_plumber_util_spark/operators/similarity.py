@@ -84,7 +84,7 @@ def bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
         F.col("vec_id").alias("query_id"),
         F.col("bucket"),
         F.col("_v").alias("_qv"),
-        F.col("_qnorm2").alias("_qnorm") if "_qnorm2" in b.columns else F.col("_norm").alias("_qnorm"),
+        F.col("_norm").alias("_qnorm"),
     )
     joined = b.join(F.broadcast(q), "bucket").filter(
         F.col("vec_id") != F.col("query_id")
