@@ -271,11 +271,16 @@ _BOUNDS_SQL = """
 # --------------------------------------------------------------------------
 
 
-def _lines_df(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _lines_df(spark: SparkSession, sf_dir: str, persist: bool = False) -> tuple[DataFrame, DataFrame]:
     words = words_from_lineitem(spark, sf_dir)
     wl = assign_line_ids(words)
     segs = build_segments(wl)
     lines = drop_blank_lines(assemble_lines(wl, segs, page_dims(words)))
+    if persist:
+        # the analysis stage consumes lines 3-4 times (rules, blocks,
+        # candidates, doc extremes) — materialize once, exactly like the
+        # reference's _lines.json checkpoint between extract and analyze
+        lines = lines.persist()
     return lines, segs
 
 
@@ -346,7 +351,7 @@ def q_spacing_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: contextual gap classification per line."""
-    lines, _ = _lines_df(spark, sf_dir)
+    lines, _ = _lines_df(spark, sf_dir, persist=True)
     rules = contextual_spacing_rules(lines)
     return classify_gaps(lines, rules).select(
         "url", "page", "line_number", "gap_type"
@@ -355,7 +360,7 @@ def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6/W3: block sessionization with recomputed inter-block gaps."""
-    lines, _ = _lines_df(spark, sf_dir)
+    lines, _ = _lines_df(spark, sf_dir, persist=True)
     rules = contextual_spacing_rules(lines)
     blocks = form_blocks(lines, rules)
     return blocks.select(
@@ -385,7 +390,7 @@ def q_hf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11/H5: final per-document content boundaries."""
-    lines, _ = _lines_df(spark, sf_dir)
+    lines, _ = _lines_df(spark, sf_dir, persist=True)
     cands = header_footer_candidates(lines)
     doc_bottom = lines.groupBy("url").agg(
         F.max(F.col("bbox")["bottom"]).alias("doc_bottom")
@@ -395,7 +400,7 @@ def q_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_body_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: end-to-end main-content text per url."""
-    lines, _ = _lines_df(spark, sf_dir)
+    lines, _ = _lines_df(spark, sf_dir, persist=True)
     rules = contextual_spacing_rules(lines)
     blocks = form_blocks(lines, rules)
     cands = header_footer_candidates(lines)

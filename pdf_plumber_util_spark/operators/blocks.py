@@ -59,21 +59,19 @@ def form_blocks(lines: DataFrame, rules: DataFrame, segments: DataFrame | None =
         "block_id", F.sum(flag).over(w)
     )
 
-    bw = Window.partitionBy("url", "page", "block_id")
-    ordered_texts = F.array_sort(F.collect_list(F.struct("line_number", "text")).over(bw))
-    agg = (
-        df.withColumn("_texts", ordered_texts)
-        .withColumn("_bx0", F.min(F.col("bbox")["x0"]).over(bw))
-        .withColumn("_btop", F.min(F.col("bbox")["top"]).over(bw))
-        .withColumn("_bx1", F.max(F.col("bbox")["x1"]).over(bw))
-        .withColumn("_bbot", F.max(F.col("bbox")["bottom"]).over(bw))
-        .withColumn("_first_gap", F.min(F.struct("line_number", "gap_before")).over(bw))
-        .withColumn("_last_gap", F.max(F.struct("line_number", "gap_before")).over(bw))
-        .withColumn("_n", F.count("*").over(bw))
-        .withColumn("_first_ln", F.min("line_number").over(bw))
-        .withColumn("_last_ln", F.max("line_number").over(bw))
-        .withColumn("_rn", F.row_number().over(bw.orderBy("line_number")))
-        .filter(F.col("_rn") == 1)
+    # groupBy, not window-frame collect (O(n^2) array copies per block)
+    agg = df.groupBy("url", "page", "block_id").agg(
+        F.array_sort(F.collect_list(F.struct("line_number", "text"))).alias("_texts"),
+        F.min(F.col("bbox")["x0"]).alias("_bx0"),
+        F.min(F.col("bbox")["top"]).alias("_btop"),
+        F.max(F.col("bbox")["x1"]).alias("_bx1"),
+        F.max(F.col("bbox")["bottom"]).alias("_bbot"),
+        F.min(F.struct("line_number", "gap_before")).alias("_first_gap"),
+        F.max(F.struct("line_number", "gap_before")).alias("_last_gap"),
+        F.count("*").alias("_n"),
+        F.min("line_number").alias("_first_ln"),
+        F.max("line_number").alias("_last_ln"),
+        F.first("predominant_size").alias("predominant_size"),
     )
     blocks = agg.select(
         "url",

@@ -5,14 +5,20 @@ transformations. Everything is keyed by a ``url`` prefix, so after one
 hash-partition by ``url`` the whole chain runs without further exchanges
 (HashPartitioning(url) satisfies ClusteredDistribution(url, page, ...)).
 
+Plan-shape note: ``assemble_lines`` is deliberately WINDOW-ONLY — earlier
+drafts computed bbox/predominant/text as four separate groupBy branches
+joined back, which made Catalyst re-execute everything above the shuffle
+(including the C1 pandas stage) once per branch. Window aggregates over
+the same (url, page, line_id) partitioning produce every line attribute in
+a single pass with zero joins and zero extra exchanges.
+
 Input word schema (tokenizer output, FIXTURES.md §2):
-  url string, page int, word_idx int, text string, x0 double, x1 double,
+  url string, page int, word_idx long, text string, x0 double, x1 double,
   top double, bottom double, fontname string, size double, upright boolean
+  [+ page_width double, page_height double pass-through]
 """
 
 from __future__ import annotations
-
-from typing import Iterable
 
 import numpy as np
 import pandas as pd
@@ -20,9 +26,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import py_round, round_half, round_2dp
-
-# window: words of one page in line order
-_W_PAGE = ["url", "page"]
 
 
 def _cluster_anchor(tops: np.ndarray, y_tol: float) -> np.ndarray:
@@ -33,7 +36,7 @@ def _cluster_anchor(tops: np.ndarray, y_tol: float) -> np.ndarray:
     break) — NOT the previous word (cumulative drift differs from a lag-based
     flag). With tops ascending, each cluster is the maximal prefix with
     ``top - anchor <= y_tol``, found per cluster with one searchsorted —
-    O(total_words) per page, no per-row Python.
+    no per-row Python.
     """
     n = len(tops)
     line_ids = np.zeros(n, dtype=np.int64)
@@ -90,21 +93,11 @@ def combine_words_x(words: DataFrame, x_tol: float = 3.0) -> DataFrame:
         F.abs(F.col("x0") - F.lag("x1").over(w)) <= F.lit(x_tol), F.lit(0)
     ).otherwise(F.lit(1))
     df = words.withColumn("_grp", F.sum(flag).over(w))
-    ordered = F.array_sort(
-        F.collect_list(F.struct("x0", "word_idx", "text", "x1")).over(
-            Window.partitionBy("url", "page", "line_id", "_grp")
-        )
-    )
-    agg = (
+    gw = Window.partitionBy("url", "page", "line_id", "_grp")
+    ordered = F.array_sort(F.collect_list(F.struct("x0", "word_idx", "text", "x1")).over(gw))
+    return (
         df.withColumn("_members", ordered)
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("url", "page", "line_id", "_grp").orderBy(
-                    "x0", "word_idx"
-                )
-            ),
-        )
+        .withColumn("_rn", F.row_number().over(gw.orderBy("x0", "word_idx")))
         .filter(F.col("_rn") == 1)
         .withColumn(
             "text",
@@ -113,16 +106,16 @@ def combine_words_x(words: DataFrame, x_tol: float = 3.0) -> DataFrame:
         .withColumn("x1", F.element_at("_members", -1)["x1"])
         .drop("_members", "_rn", "_grp")
     )
-    return agg
 
 
 def build_segments(words_with_lines: DataFrame) -> DataFrame:
     """C3/C4: font/size/upright run split + segment aggregate
-    (extractor.py:342-399).
+    (extractor.py:342-399). Single window pass, no joins.
 
     Output: one row per segment with
       url, page, line_id, seg_id, font, reported_size, rounded_size,
-      direction, text (concatenated, stripped), bbox struct, seg_width.
+      direction, text (concatenated, stripped), bbox struct, seg_width
+      [+ page_width/page_height pass-through when present].
     """
     w = Window.partitionBy("url", "page", "line_id").orderBy("x0", "word_idx")
     brk = (
@@ -134,32 +127,26 @@ def build_segments(words_with_lines: DataFrame) -> DataFrame:
         "seg_id",
         F.sum(F.when(F.lag("word_idx").over(w).isNull() | brk, 1).otherwise(0)).over(w),
     )
-    seg_w = Window.partitionBy("url", "page", "line_id", "seg_id")
-    ordered = F.array_sort(
-        F.collect_list(F.struct("x0", "word_idx", "text")).over(seg_w)
-    )
-    first = F.min(F.struct("x0", "word_idx", "fontname", "size", "upright")).over(seg_w)
-    segs = (
-        df.withColumn("_members", ordered)
-        .withColumn("_first", first)
-        .withColumn("_bx0", F.min("x0").over(seg_w))
-        .withColumn("_btop", F.min("top").over(seg_w))
-        .withColumn("_bx1", F.max("x1").over(seg_w))
-        .withColumn("_bbot", F.max("bottom").over(seg_w))
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("url", "page", "line_id", "seg_id").orderBy(
-                    "x0", "word_idx"
-                )
-            ),
-        )
-        .filter(F.col("_rn") == 1)
+    # groupBy (not window+rn==1): a window-frame collect_list would copy
+    # the whole member array once PER ROW — O(n^2) per segment; the
+    # aggregation keeps one buffer per group. HashPartitioning(url) still
+    # covers the grouping key, so no shuffle is added.
+    passthrough = [
+        c for c in ("page_width", "page_height") if c in words_with_lines.columns
+    ]
+    agg = df.groupBy("url", "page", "line_id", "seg_id").agg(
+        F.array_sort(F.collect_list(F.struct("x0", "word_idx", "text"))).alias("_members"),
+        F.min(F.struct("x0", "word_idx", "fontname", "size", "upright")).alias("_first"),
+        F.min("x0").alias("_bx0"),
+        F.min("top").alias("_btop"),
+        F.max("x1").alias("_bx1"),
+        F.max("bottom").alias("_bbot"),
+        *[F.first(c).alias(c) for c in passthrough],
     )
     # segment text: plain concat of member texts in (x0, word_idx) order,
     # then Python-str.strip() (extractor.py:375-399)
     raw_text = F.aggregate("_members", F.lit(""), lambda acc, m: F.concat(acc, m["text"]))
-    return segs.select(
+    return agg.select(
         "url",
         "page",
         "line_id",
@@ -178,216 +165,236 @@ def build_segments(words_with_lines: DataFrame) -> DataFrame:
             F.col("_bbot").alias("bottom"),
         ).alias("bbox"),
         (F.col("_bx1") - F.col("_bx0")).alias("seg_width"),
+        *passthrough,
     )
 
 
-def _line_text_exprs(segs: DataFrame) -> DataFrame:
-    """O2 proportional spacing (extractor.py:628-700), columnar.
+def line_texts_from_segments(segments: DataFrame) -> DataFrame:
+    """O2 aggregation only (public for golden-fixture replay): per
+    (url, page, line_id) the normalized text, proportional text, and
+    spacing-info array (extractor.py:628-700)."""
+    enriched = _with_o2_columns(segments)
+    out = enriched.groupBy("url", "page", "line_id").agg(
+        _parts_agg().alias("_parts"), _info_agg().alias("_info")
+    )
+    return out.select(
+        "url", "page", "line_id",
+        _text_expr().alias("text"),
+        _prop_expr().alias("text_proportional"),
+        _info_expr().alias("proportional_spacing_info"),
+    )
 
-    Works on surviving (non-empty-text) segments; emits per-segment helper
-    columns, then the caller aggregates per line.
-    """
-    surv = segs.filter(F.col("text") != "")
-    ws = Window.partitionBy("url", "page", "line_id").orderBy("seg_id")
-    surv = (
-        surv.withColumn("_sidx", F.row_number().over(ws))
-        .withColumn("_prev_x1", F.lag(F.col("bbox")["x1"]).over(ws))
+
+# ---- O2 helper expressions (shared by line_texts_from_segments and
+# assemble_lines; all computed via null-skipping windows so the full
+# segment set stays in one pass — no filter+join) ----
+
+
+def _with_o2_columns(segments: DataFrame) -> DataFrame:
+    w = Window.partitionBy("url", "page", "line_id").orderBy("seg_id")
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    is_surv = F.col("text") != ""
+    surv_x1 = F.when(is_surv, F.col("bbox")["x1"])
+    surv_size = F.when(
+        is_surv,
+        F.when(F.col("rounded_size") != 0.0, F.col("rounded_size")).otherwise(
+            F.coalesce("reported_size", F.lit(10.0))
+        ),
+    )
+    df = (
+        segments.withColumn("_surv", is_surv)
+        .withColumn("_prev_x1", F.last(surv_x1, ignorenulls=True).over(prior))
+        .withColumn("_prev_size", F.last(surv_size, ignorenulls=True).over(prior))
         .withColumn(
-            "_prev_size",
-            F.lag(
-                # reference: rounded_size or reported_size or 10 (falsy coalesce)
-                F.when(F.col("rounded_size") != 0.0, F.col("rounded_size"))
-                .otherwise(F.coalesce("reported_size", F.lit(10.0)))
-            ).over(ws),
+            "_sidx",
+            F.sum(F.when(is_surv, 1).otherwise(0)).over(w),
         )
         .withColumn(
             "_cum_len",
-            F.coalesce(
-                F.sum(F.length("text")).over(ws.rowsBetween(Window.unboundedPreceding, -1)),
-                F.lit(0),
-            ),
+            F.coalesce(F.sum(F.when(is_surv, F.length("text"))).over(prior), F.lit(0)),
         )
     )
     raw_gap = F.col("bbox")["x0"] - F.col("_prev_x1")
     est = F.col("_prev_size") * 0.3
     n_spaces = F.greatest(F.lit(1.0), py_round(raw_gap / est)).cast("int")
-    return surv.select(
-        "url",
-        "page",
-        "line_id",
-        "_sidx",
-        "text",
-        F.when(F.col("_sidx") > 1, n_spaces).alias("_nsp"),
-        F.when(F.col("_sidx") > 1, round_2dp(raw_gap)).alias("_raw_gap"),
-        F.when(F.col("_sidx") > 1, round_2dp(est)).alias("_est"),
-        (F.col("_cum_len") + F.col("_sidx") - 2).cast("int").alias("_norm_idx"),
+    active = F.col("_surv") & (F.col("_sidx") > 1)
+    return (
+        df.withColumn("_nsp", F.when(active, n_spaces))
+        .withColumn("_raw_gap", F.when(active, round_2dp(raw_gap)))
+        .withColumn("_est", F.when(active, round_2dp(est)))
+        .withColumn(
+            "_norm_idx",
+            F.when(active, (F.col("_cum_len") + F.col("_sidx") - 2).cast("int")),
+        )
     )
 
 
-def line_texts_from_segments(segments: DataFrame) -> DataFrame:
-    """O2 aggregation: per (url, page, line_id) the normalized text,
-    proportional text, and spacing-info array (extractor.py:628-700).
-    Public so the reference's golden spacing-reconstruction fixtures can be
-    replayed on injected segment rows."""
-    o2 = _line_text_exprs(segments)
-    lw = Window.partitionBy("url", "page", "line_id")
-    return (
-        o2.withColumn(
-            "_parts", F.array_sort(F.collect_list(F.struct("_sidx", "text", "_nsp")).over(lw))
-        )
-        .withColumn(
-            "_info",
-            F.array_sort(
-                F.collect_list(
-                    F.when(
-                        F.col("_sidx") > 1,
-                        F.struct(
-                            F.col("_sidx").alias("s"),
-                            F.col("_norm_idx").alias("normalized_text_index"),
-                            F.col("_raw_gap").alias("raw_gap_pt"),
-                            F.col("_est").alias("estimated_space_width_pt"),
-                            F.col("_nsp").alias("proportional_spaces"),
-                        ),
-                    )
-                ).over(lw)
-            ),
-        )
-        .withColumn("_rn", F.row_number().over(lw.orderBy("_sidx")))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "url",
-            "page",
-            "line_id",
-            F.aggregate(
-                "_parts",
-                F.lit(""),
-                lambda acc, p: F.concat(
-                    acc, F.when(p["_sidx"] > 1, F.lit(" ")).otherwise(F.lit("")), p["text"]
+def _parts_agg():
+    return F.array_sort(
+        F.collect_list(F.when(F.col("_surv"), F.struct("_sidx", "text", "_nsp")))
+    )
+
+
+def _info_agg():
+    return F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("_surv") & (F.col("_sidx") > 1),
+                F.struct(
+                    F.col("_sidx").alias("s"),
+                    F.col("_norm_idx").alias("normalized_text_index"),
+                    F.col("_raw_gap").alias("raw_gap_pt"),
+                    F.col("_est").alias("estimated_space_width_pt"),
+                    F.col("_nsp").alias("proportional_spaces"),
                 ),
-            ).alias("text"),
-            F.aggregate(
-                "_parts",
-                F.lit(""),
-                lambda acc, p: F.concat(
-                    acc,
-                    F.when(p["_sidx"] > 1, F.repeat(F.lit(" "), p["_nsp"])).otherwise(F.lit("")),
-                    p["text"],
-                ),
-            ).alias("text_proportional"),
-            F.transform(
-                "_info",
-                lambda s: F.struct(
-                    s["normalized_text_index"].alias("normalized_text_index"),
-                    s["raw_gap_pt"].alias("raw_gap_pt"),
-                    s["estimated_space_width_pt"].alias("estimated_space_width_pt"),
-                    s["proportional_spaces"].alias("proportional_spaces"),
-                ),
-            ).alias("proportional_spacing_info"),
+            )
         )
+    )
+
+
+def _text_expr():
+    return F.aggregate(
+        "_parts",
+        F.lit(""),
+        lambda acc, p: F.concat(
+            acc, F.when(p["_sidx"] > 1, F.lit(" ")).otherwise(F.lit("")), p["text"]
+        ),
+    )
+
+
+def _prop_expr():
+    return F.aggregate(
+        "_parts",
+        F.lit(""),
+        lambda acc, p: F.concat(
+            acc,
+            F.when(p["_sidx"] > 1, F.repeat(F.lit(" "), p["_nsp"])).otherwise(F.lit("")),
+            p["text"],
+        ),
+    )
+
+
+def _info_expr():
+    return F.transform(
+        "_info",
+        lambda s: F.struct(
+            s["normalized_text_index"].alias("normalized_text_index"),
+            s["raw_gap_pt"].alias("raw_gap_pt"),
+            s["estimated_space_width_pt"].alias("estimated_space_width_pt"),
+            s["proportional_spaces"].alias("proportional_spaces"),
+        ),
     )
 
 
 def assemble_lines(
     words_with_lines: DataFrame,
     segments: DataFrame,
-    page_dims: DataFrame,
+    page_dims: DataFrame | None = None,
 ) -> DataFrame:
-    """Assemble the full line records: text (O2), bbox (C5), predominant
-    size/font + coverage (A1), gap_before/gap_after (W1/W2).
+    """Assemble the full line records in ONE window pass over segments:
+    text (O2), bbox (C5), predominant size/font + coverage (A1),
+    gap_before/gap_after (W1/W2). Output matches FIXTURES.md §4.
 
-    ``page_dims``: (url, page, page_width, page_height).
-    Output matches FIXTURES.md §4 (flat, one row per line).
+    ``page_dims`` is only consulted when the segment table doesn't carry
+    page_width/page_height columns (fixture injection); the production
+    path passes dims through the tokenizer, so no join happens.
     """
-    # --- line bbox from words (extractor.py:401-415)
-    bbox = words_with_lines.groupBy("url", "page", "line_id").agg(
-        F.min("x0").alias("bx0"),
-        F.min("top").alias("btop"),
-        F.max("x1").alias("bx1"),
-        F.max("bottom").alias("bbot"),
+    segs = segments
+    if "page_height" not in segs.columns:
+        if page_dims is None:
+            raise ValueError("segments lack page dims and no page_dims given")
+        segs = segs.join(page_dims, ["url", "page"], "left")
+
+    lw = Window.partitionBy("url", "page", "line_id")
+    enriched = _with_o2_columns(segs)
+
+    # A1 via nested windows: per-size width sums, then line-level argmax
+    size_w = Window.partitionBy("url", "page", "line_id", "rounded_size")
+    font_w = Window.partitionBy("url", "page", "line_id", "font")
+    enriched = (
+        enriched.withColumn("_w_size", F.sum("seg_width").over(size_w))
+        .withColumn("_fs_size", F.min("seg_id").over(size_w))
+        .withColumn("_w_font", F.sum("seg_width").over(font_w))
+        .withColumn("_fs_font", F.min("seg_id").over(font_w))
+    )
+    lines = enriched.groupBy("url", "page", "line_id").agg(
+        _parts_agg().alias("_parts"),
+        _info_agg().alias("_info"),
+        F.min(F.col("bbox")["x0"]).alias("_bx0"),
+        F.min(F.col("bbox")["top"]).alias("_btop"),
+        F.max(F.col("bbox")["x1"]).alias("_bx1"),
+        F.max(F.col("bbox")["bottom"]).alias("_bbot"),
+        F.sum("seg_width").alias("_total_w"),
+        F.max(
+            F.struct(
+                F.col("_w_size").alias("w"),
+                (-F.col("_fs_size")).alias("nfs"),
+                F.col("rounded_size").alias("val"),
+            )
+        ).alias("_best_size"),
+        F.max(
+            F.struct(
+                F.col("_w_font").alias("w"),
+                (-F.col("_fs_font")).alias("nfs"),
+                F.col("font").alias("val"),
+            )
+        ).alias("_best_font"),
+        F.first("page_width").alias("page_width"),
+        F.first("page_height").alias("page_height"),
     )
 
-    texts = line_texts_from_segments(segments)
+    def cov(best):
+        return F.when(
+            best["val"].isNotNull() & (F.col("_total_w") > 0),
+            py_round((best["w"] / F.col("_total_w") * 100) * 10) / 10,
+        ).otherwise(F.lit(0.0))
 
-    # --- A1 predominant size/font (width-weighted, first-seen tie-break)
-    def _predominant(col: str, out: str) -> DataFrame:
-        per_key = segments.groupBy("url", "page", "line_id", col).agg(
-            F.sum("seg_width").alias("w"), F.min("seg_id").alias("first_seen")
-        )
-        return per_key.groupBy("url", "page", "line_id").agg(
-            F.max_by(col, F.struct(F.col("w"), -F.col("first_seen"))).alias(out),
-            F.max(F.struct(F.col("w"), -F.col("first_seen")))["w"].alias(out + "_w"),
-            F.sum("w").alias(out + "_total"),
-        )
-
-    psize = _predominant("rounded_size", "predominant_size")
-    pfont = _predominant("font", "predominant_font")
-
-    lines = (
-        bbox.join(texts, ["url", "page", "line_id"], "left")
-        .join(psize, ["url", "page", "line_id"], "left")
-        .join(pfont, ["url", "page", "line_id"], "left")
-        .join(page_dims, ["url", "page"], "left")
-        .withColumn("text", F.coalesce("text", F.lit("")))
-        .withColumn("text_proportional", F.coalesce("text_proportional", F.lit("")))
-        .withColumn(
-            "predominant_size_coverage",
-            F.when(
-                F.col("predominant_size").isNotNull() & (F.col("predominant_size_total") > 0),
-                # match Python eval order: round((w/total*100), 1)
-                py_round((F.col("predominant_size_w") / F.col("predominant_size_total") * 100) * 10)
-                / 10,
-            ).otherwise(F.lit(0.0)),
-        )
-        .withColumn(
-            "predominant_font_coverage",
-            F.when(
-                F.col("predominant_font").isNotNull() & (F.col("predominant_font_total") > 0),
-                py_round((F.col("predominant_font_w") / F.col("predominant_font_total") * 100) * 10)
-                / 10,
-            ).otherwise(F.lit(0.0)),
-        )
+    lines = lines.select(
+        "url",
+        "page",
+        "line_id",
+        _text_expr().alias("text"),
+        _prop_expr().alias("text_proportional"),
+        _info_expr().alias("proportional_spacing_info"),
+        F.struct(
+            F.col("_bx0").alias("x0"),
+            F.col("_btop").alias("top"),
+            F.col("_bx1").alias("x1"),
+            F.col("_bbot").alias("bottom"),
+        ).alias("bbox"),
+        F.col("_best_size")["val"].alias("predominant_size"),
+        F.col("_best_font")["val"].alias("predominant_font"),
+        cov(F.col("_best_size")).alias("predominant_size_coverage"),
+        cov(F.col("_best_font")).alias("predominant_font_coverage"),
+        "page_width",
+        "page_height",
     )
 
     # --- W1/W2 gaps + line numbering (extractor.py:277-330)
     wp = Window.partitionBy("url", "page").orderBy("line_id")
-    lines = (
+    return (
         lines.withColumn("line_number", F.row_number().over(wp))
         .withColumn(
             "gap_before",
-            F.when(F.col("line_number") == 1, F.col("btop")).otherwise(
-                F.greatest(F.col("btop") - F.lag("bbot").over(wp), F.lit(0.0))
+            F.when(F.col("line_number") == 1, F.col("bbox")["top"]).otherwise(
+                F.greatest(
+                    F.col("bbox")["top"] - F.lag(F.col("bbox")["bottom"]).over(wp),
+                    F.lit(0.0),
+                )
             ),
         )
         .withColumn(
             "gap_after",
             F.when(
-                F.lead("btop").over(wp).isNotNull(),
-                F.greatest(F.lead("btop").over(wp) - F.col("bbot"), F.lit(0.0)),
-            ).otherwise(F.greatest(F.col("page_height") - F.col("bbot"), F.lit(0.0))),
+                F.lead(F.col("bbox")["top"]).over(wp).isNotNull(),
+                F.greatest(
+                    F.lead(F.col("bbox")["top"]).over(wp) - F.col("bbox")["bottom"],
+                    F.lit(0.0),
+                ),
+            ).otherwise(
+                F.greatest(F.col("page_height") - F.col("bbox")["bottom"], F.lit(0.0))
+            ),
         )
-    )
-    return lines.select(
-        "url",
-        "page",
-        "line_id",
-        "line_number",
-        "text",
-        "text_proportional",
-        "proportional_spacing_info",
-        F.struct(
-            F.col("bx0").alias("x0"),
-            F.col("btop").alias("top"),
-            F.col("bx1").alias("x1"),
-            F.col("bbot").alias("bottom"),
-        ).alias("bbox"),
-        "predominant_size",
-        "predominant_font",
-        "predominant_size_coverage",
-        "predominant_font_coverage",
-        "gap_before",
-        "gap_after",
-        "page_width",
-        "page_height",
     )
 
 

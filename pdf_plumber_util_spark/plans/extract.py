@@ -107,7 +107,9 @@ def extract_documents(pages: DataFrame, cfg: EngineConfig = DEFAULT,
     wl = assign_line_ids(words, cfg.y_tolerance)
     segs = build_segments(wl)
     lines = assemble_lines(wl, segs, page_dims(words))
-    flines = drop_blank_lines(lines)
+    # analysis consumes lines multiple times — materialize once (the
+    # reference's _lines.json checkpoint between extract and analyze)
+    flines = drop_blank_lines(lines).persist()
 
     rules = contextual_spacing_rules(
         flines,
