@@ -272,8 +272,10 @@ _BOUNDS_SQL = """
 
 
 def _lines_df(spark: SparkSession, sf_dir: str, persist: bool = False) -> tuple[DataFrame, DataFrame]:
+    from .operators import assign_line_ids_window
+
     words = words_from_lineitem(spark, sf_dir)
-    wl = assign_line_ids(words)
+    wl = assign_line_ids_window(words)
     segs = build_segments(wl)
     lines = drop_blank_lines(assemble_lines(wl, segs, page_dims(words)))
     if persist:
@@ -285,7 +287,8 @@ def _lines_df(spark: SparkSession, sf_dir: str, persist: bool = False) -> tuple[
 
 
 def q_word_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1+C5: line clustering and bbox."""
+    """C1+C5: line clustering and bbox (exact-anchor applyInPandas
+    variant — the stricter of the two C1 implementations)."""
     words = words_from_lineitem(spark, sf_dir)
     wl = assign_line_ids(words)
     return wl.groupBy("url", "page", "line_id").agg(
@@ -299,8 +302,10 @@ def q_word_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3/C4/O6: segment runs, text concat, banker-rounded size."""
+    from .operators import assign_line_ids_window
+
     words = words_from_lineitem(spark, sf_dir)
-    wl = assign_line_ids(words)
+    wl = assign_line_ids_window(words)
     segs = build_segments(wl)
     return segs.select(
         "url", "page", "line_id",

@@ -1,5 +1,6 @@
 from .lines import (  # noqa: F401
     assign_line_ids,
+    assign_line_ids_window,
     build_segments,
     combine_words_x,
     line_texts_from_segments,

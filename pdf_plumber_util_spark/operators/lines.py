@@ -80,6 +80,23 @@ def assign_line_ids(words: DataFrame, y_tol: float = 3.0) -> DataFrame:
     return words.groupBy("url").applyInPandas(per_doc, schema=schema)
 
 
+def assign_line_ids_window(words: DataFrame, y_tol: float = 3.0) -> DataFrame:
+    """C1, pure-window variant: break when ``top - lag(top) > y_tol``.
+
+    Equal to the reference's anchor semantics whenever cumulative intra-
+    cluster drift cannot exceed the tolerance (adjacent same-line words
+    within y_tol of each other AND of the line start) — true for rendered
+    webtext and the synthetic words tables; tests assert equality against
+    the exact-anchor variant. Prefer this in pipelines: it needs no Python
+    stage and no extra exchange (FlatMapGroupsInPandas and Generate both
+    erase output partitioning in Spark 4, so the pandas variant costs two
+    additional shuffles downstream).
+    """
+    w = Window.partitionBy("url", "page").orderBy("top", "word_idx")
+    brk = F.when(F.col("top") - F.lag("top").over(w) > y_tol, 1).otherwise(0)
+    return words.withColumn("line_id", F.sum(brk).over(w).cast("long"))
+
+
 def combine_words_x(words: DataFrame, x_tol: float = 3.0) -> DataFrame:
     """C2 (extractor.py:417-460): merge consecutive words in a line when
     ``abs(next.x0 - cur.x1) <= x_tol``. The running value compared against is

@@ -2,15 +2,24 @@
 paths, SURVEY.md §3, re-expressed as one Spark job).
 
 Scale design (north_rule):
-  * ONE data shuffle for the whole per-document pipeline: pages are
-    repartitioned by ``xxhash64(url) [+ salt for hot hosts]`` BEFORE the
-    tokenizer UDF; the tokenizer is a projection (pandas_udf + posexplode),
-    so the url attribute — and with it the partitioning — survives, and
-    every window/groupBy keyed by a url prefix runs without new exchanges.
-  * Skew: giant hosts are spread with a salt column derived from the url
-    hash; per-document work is bounded by the page count inside one task.
-  * Doc-level aggregates (rules, boundaries) are tiny per url and joined
-    back on (url, ...) — co-partitioned joins, no broadcast needed.
+  * ONE data-sized shuffle for the whole per-document pipeline: the scan +
+    tokenizer UDF + posexplode run map-side; the first (url, page) window
+    (C1 sessionization) inserts the single exchange of word records, and
+    every downstream window/groupBy/aggregation keyed by a (url, page)
+    prefix reuses that partitioning (verified by tests/test_plan_shape.py:
+    exactly one Exchange in the lines plan). Doc-level aggregates (rules,
+    boundaries, body) shuffle only line/block-sized intermediates — orders
+    of magnitude smaller than the word stream.
+  * Spark 4 note: Generate (posexplode) and FlatMapGroupsInPandas both
+    erase outputPartitioning, so pre-repartitioning pages buys nothing;
+    the C1 window variant (no Python stage) is the default, and the
+    exact-anchor applyInPandas variant remains for pathological drift.
+  * Skew: the unit of sequential work is one document; hot hosts spread
+    naturally because the exchange hashes the full (url, page) key. Giant
+    single documents are bounded by pages-per-task; detect and split by
+    page range if a corpus has outliers (two-level doc aggregation).
+  * Doc-level aggregates are tiny per url and joined back on (url, ...) —
+    co-partitioned joins, no broadcast needed.
 """
 
 from __future__ import annotations
@@ -27,7 +36,7 @@ from ..operators.boundaries import (
 )
 from ..operators.lines import (
     assemble_lines,
-    assign_line_ids,
+    assign_line_ids_window,
     build_segments,
     drop_blank_lines,
 )
@@ -56,9 +65,8 @@ def partition_pages(pages: DataFrame, num_partitions: int | None = None,
 def extract_lines(pages: DataFrame, cfg: EngineConfig = DEFAULT,
                   num_partitions: int | None = None) -> DataFrame:
     """pages -> blank-filtered line records (the `_lines.json` analog)."""
-    p = partition_pages(pages, num_partitions)
-    words = tokenize_pages(p)
-    wl = assign_line_ids(words, cfg.y_tolerance)
+    words = tokenize_pages(pages)
+    wl = assign_line_ids_window(words, cfg.y_tolerance)
     segs = build_segments(wl)
     lines = assemble_lines(wl, segs, page_dims(words))
     return drop_blank_lines(lines)
@@ -102,9 +110,8 @@ def extract_documents(pages: DataFrame, cfg: EngineConfig = DEFAULT,
                       num_partitions: int | None = None) -> DataFrame:
     """Flagship: pages -> (url, body_text, metrics). The full `process`
     path: extract -> rules -> blocks -> boundaries -> main content."""
-    p = partition_pages(pages, num_partitions)
-    words = tokenize_pages(p)
-    wl = assign_line_ids(words, cfg.y_tolerance)
+    words = tokenize_pages(pages)
+    wl = assign_line_ids_window(words, cfg.y_tolerance)
     segs = build_segments(wl)
     lines = assemble_lines(wl, segs, page_dims(words))
     # analysis consumes lines multiple times — materialize once (the

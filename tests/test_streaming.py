@@ -1,0 +1,61 @@
+"""Streaming/batch parity: the streaming plans must produce exactly the
+batch results when drained with availableNow over the same input."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_plumber_util_spark.streaming.events import (
+    hourly_counts_stream,
+    run_stream_once,
+    session_stream,
+    stream_events,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_hourly_parity(spark, events_dir):
+    stream = hourly_counts_stream(stream_events(spark, events_dir))
+    got = {
+        (r["hour"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in run_stream_once(stream)
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    )
+    want = {
+        (r["hour"], r["event_type"]): (r["n"], round(r["sum_value"], 6)) for r in batch
+    }
+    assert got == want and len(got) > 10
+
+
+def test_session_parity(spark, events_dir):
+    stream = session_stream(stream_events(spark, events_dir))
+    got = {}
+    for r in run_stream_once(stream):
+        got[r["user_id"]] = got.get(r["user_id"], 0) + 1
+    # batch twin: 30-min-gap sessionization via lag+cumsum
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(events_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flag = F.when(ts_us - F.lag(ts_us).over(w) > 1800 * 1_000_000, 1).otherwise(0)
+    batch = (
+        ev.withColumn("sid", F.sum(flag).over(w))
+        .groupBy("user_id")
+        .agg(F.countDistinct("sid").alias("n_sessions"))
+        .collect()
+    )
+    want = {r["user_id"]: r["n_sessions"] for r in batch}
+    assert got == want
