@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .contract import _LINES_SQL, _sql_py_round, sql_round_to
+from .contract import _LINES_SQL, _RULES_SQL, _sql_py_round, sql_round_to
 from .sources.tables import WORDS_FROM_LINEITEM_SQL
 from .functions.rounding import py_round
 from .operators import dedup, similarity, stats, text_analysis
@@ -193,6 +193,81 @@ def q_sample_hf_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_header_footer_groups(_doc_pages(spark, sf_dir))
 
 
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-doc modal font/size over segments of valid lines."""
+    from .contract import _lines_df
+    from .plans.extract import doc_stats
+
+    lines, segs = _lines_df(spark, sf_dir)
+    return doc_stats(lines, segs)
+
+
+def q_line_spacing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5: doc-level modal positive spacing."""
+    from .operators.spacing import line_spacing_summary
+
+    return line_spacing_summary(_contract_lines(spark, sf_dir)).select(
+        "url", "most_common_spacing",
+        F.col("most_common_spacing_count").cast("long").alias("most_common_spacing_count"),
+        F.col("total_spacings").cast("long").alias("total_spacings"),
+    )
+
+
+def q_contextual_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3: contextual header/footer candidates."""
+    from .operators import contextual_header_footer_candidates
+    from .operators.spacing import contextual_spacing_rules
+
+    lines = _contract_lines(spark, sf_dir)
+    rules = contextual_spacing_rules(lines)
+    return contextual_header_footer_candidates(lines, rules).select(
+        "url", "page", "side", "y_coord", "gap", "gap_type", "line_number"
+    )
+
+
+_V1_RANGES = [
+    ("tight", None, 2.0),
+    ("line", 2.0, 8.0),
+    ("para", 8.0, 16.0),
+    ("wide", 16.0, None),
+]
+
+
+def q_range_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1: first-matching-range spacing bucketing, counts per bucket."""
+    from .operators.stats import spacing_range_match
+
+    lines = _contract_lines(spark, sf_dir)
+    return (
+        spacing_range_match(lines, _V1_RANGES)
+        .groupBy("url", "spacing_bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_method_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+C7: positional full-outer zip of the default (y_tol=3) lines
+    against the scanner-variant clustering (y_tol=2, C7)."""
+    from .operators import (
+        assemble_lines,
+        assign_line_ids_window,
+        build_segments,
+        drop_blank_lines,
+    )
+    from .operators.stats import method_comparison_zip
+    from .sources.tokenizer import page_dims
+
+    words = words_from_lineitem(spark, sf_dir)
+    mk = lambda tol: drop_blank_lines(
+        assemble_lines(
+            assign_line_ids_window(words, tol),
+            build_segments(assign_line_ids_window(words, tol)),
+            page_dims(words),
+        )
+    )
+    return method_comparison_zip(mk(3.0), mk(2.0))
+
+
 EXTRA_QUERIES = {
     "a18_token_counts": q_token_counts,
     "t1_quality": q_quality,
@@ -218,6 +293,11 @@ EXTRA_QUERIES = {
     "m2_sample_stratified": q_sample_stratified,
     "m3_sample_toc": q_sample_toc,
     "m1_sample_hf_groups": q_sample_hf_groups,
+    "a3_doc_stats": q_doc_stats,
+    "a4_line_spacing": q_line_spacing_summary,
+    "h3_contextual_candidates": q_contextual_candidates,
+    "v1_range_match": q_range_match,
+    "j2_method_compare": q_method_compare,
 }
 
 
@@ -358,6 +438,119 @@ SELECT user_id,
   CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,
   CAST(COUNT(*) AS BIGINT) AS n_events
 FROM flagged GROUP BY user_id
+""",
+    "a3_doc_stats": _LINES_SQL + f"""
+, spos AS (
+  SELECT url, font,
+    {sql_round_to('rounded_size', 0.5)} AS size_r,
+    page * 1000000000000 + line_id * 1000000 + seg_id AS pos
+  FROM segs
+), fstat AS (
+  SELECT url, font, COUNT(*) AS cnt, MIN(pos) AS fp
+  FROM spos GROUP BY url, font
+), sstat AS (
+  SELECT url, size_r, COUNT(*) AS cnt, MIN(pos) AS fp
+  FROM spos GROUP BY url, size_r
+)
+SELECT f.url,
+  f.most_common_font,
+  CAST(f.total_segments AS BIGINT) AS total_segments,
+  s.most_common_size
+FROM (
+  SELECT url, FIRST(font ORDER BY cnt DESC, fp ASC) AS most_common_font,
+    SUM(cnt) AS total_segments
+  FROM fstat GROUP BY url
+) f JOIN (
+  SELECT url, FIRST(size_r ORDER BY cnt DESC, fp ASC) AS most_common_size
+  FROM sstat GROUP BY url
+) s ON f.url = s.url
+""",
+    "a4_line_spacing": _LINES_SQL + f"""
+, flat2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY page, line_number) AS pos
+  FROM lines
+), spd AS (
+  SELECT url, {sql_round_to('gap_before', 0.5)} AS sp, COUNT(*) AS cnt, MIN(pos) AS fs
+  FROM flat2 WHERE gap_before IS NOT NULL AND gap_before > 0
+  GROUP BY url, {sql_round_to('gap_before', 0.5)}
+)
+SELECT a.url,
+  COALESCE(n.mc, a.mc) AS most_common_spacing,
+  CAST(COALESCE(n.mcc, a.mcc) AS BIGINT) AS most_common_spacing_count,
+  CAST(a.total AS BIGINT) AS total_spacings
+FROM (
+  SELECT url, FIRST(sp ORDER BY cnt DESC, fs ASC) AS mc,
+    FIRST(cnt ORDER BY cnt DESC, fs ASC) AS mcc, SUM(cnt) AS total
+  FROM spd GROUP BY url
+) a LEFT JOIN (
+  SELECT url, FIRST(sp ORDER BY cnt DESC, fs ASC) AS mc,
+    FIRST(cnt ORDER BY cnt DESC, fs ASC) AS mcc
+  FROM spd WHERE sp > 0.01 GROUP BY url
+) n ON a.url = n.url
+""",
+    "h3_contextual_candidates": _LINES_SQL + _RULES_SQL + f"""
+, fbx AS (
+  SELECT url,
+    FIRST(range_hi ORDER BY total_gaps DESC, first_ctx_pos ASC) AS fb_hi,
+    FIRST(para_spacing_max ORDER BY total_gaps DESC, first_ctx_pos ASC) AS fb_pmax
+  FROM rules GROUP BY url
+), zl3 AS (
+  SELECT l.*, r.range_hi AS r_hi, r.para_spacing_max AS r_pmax,
+    x.fb_hi, x.fb_pmax,
+    LEAD(l.line_number) OVER wz IS NOT NULL AS has_next,
+    LAG(l.line_number) OVER wz IS NOT NULL AS has_prev
+  FROM lines l
+  LEFT JOIN rules r ON l.url = r.url AND l.predominant_size = r.context_size
+  LEFT JOIN fbx x ON l.url = x.url
+  WINDOW wz AS (PARTITION BY l.url, l.page ORDER BY l.line_number)
+)
+SELECT url, page, 'header' AS side, bbot AS y_coord, gap_after AS gap,
+  'Section' AS gap_type, line_number
+FROM zl3
+WHERE btop < 90.0 AND has_next AND gap_after IS NOT NULL
+  AND COALESCE(r_hi, fb_hi) IS NOT NULL
+  AND {sql_round_to('gap_after', 0.5)} > COALESCE(r_hi, fb_hi)
+  AND {sql_round_to('gap_after', 0.5)} > COALESCE(r_pmax, fb_pmax)
+UNION ALL
+SELECT url, page, 'footer' AS side, btop AS y_coord, gap_before AS gap,
+  'Section' AS gap_type, line_number
+FROM zl3
+WHERE bbot > 720.0 AND has_prev AND gap_before IS NOT NULL
+  AND COALESCE(r_hi, fb_hi) IS NOT NULL
+  AND {sql_round_to('gap_before', 0.5)} > COALESCE(r_hi, fb_hi)
+  AND {sql_round_to('gap_before', 0.5)} > COALESCE(r_pmax, fb_pmax)
+""",
+    "v1_range_match": _LINES_SQL + f"""
+, bucketed AS (
+  SELECT url,
+    CASE WHEN {sql_round_to('gap_before', 0.5)} <= 2.0 THEN 'tight'
+         WHEN {sql_round_to('gap_before', 0.5)} >= 2.0
+              AND {sql_round_to('gap_before', 0.5)} <= 8.0 THEN 'line'
+         WHEN {sql_round_to('gap_before', 0.5)} >= 8.0
+              AND {sql_round_to('gap_before', 0.5)} <= 16.0 THEN 'para'
+         WHEN {sql_round_to('gap_before', 0.5)} >= 16.0 THEN 'wide'
+         ELSE NULL END AS spacing_bucket
+  FROM lines
+)
+SELECT url, spacing_bucket, CAST(COUNT(*) AS BIGINT) AS n
+FROM bucketed GROUP BY url, spacing_bucket
+""",
+    # J2+C7: two clustering tolerances, positionally zipped. The 2.0-pt
+    # variant reuses the same CTE chain with the y-tolerance replaced.
+    "j2_method_compare": f"""
+WITH la AS (
+  SELECT url, page, line_number, text AS text_a
+  FROM ( {_LINES_SQL} SELECT url, page, line_number, text FROM lines )
+), lb AS (
+  SELECT url, page, line_number, text AS text_b
+  FROM ( {_LINES_SQL.replace("> 3.0", "> 2.0")} SELECT url, page, line_number, text FROM lines )
+)
+SELECT COALESCE(la.url, lb.url) AS url,
+  COALESCE(la.page, lb.page) AS page,
+  COALESCE(la.line_number, lb.line_number) AS line_number,
+  la.text_a, lb.text_b
+FROM la FULL OUTER JOIN lb
+  ON la.url = lb.url AND la.page = lb.page AND la.line_number = lb.line_number
 """,
     "a12_font_keys": WORDS_FROM_LINEITEM_SQL + """
 , keyed AS (

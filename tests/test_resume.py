@@ -1,0 +1,57 @@
+"""Resumable run: committed buckets are skipped on re-run (J5 anti-join),
+sidecar metrics are published write-audit-publish, output is idempotent."""
+
+import json
+import os
+
+import pytest
+
+from pdf_plumber_util_spark.plans.resume import (
+    BUCKET_COL,
+    committed_partitions,
+    resume_filter,
+    run_resumable,
+)
+from pdf_plumber_util_spark.sources.pages import synth_pages
+
+
+def test_resume_skips_committed(spark, tmp_path):
+    out = str(tmp_path / "out")
+    pages = synth_pages(spark, 12)
+
+    metas1 = run_resumable(pages, spark, out, n_buckets=4)
+    assert len(metas1) >= 2
+    done1 = committed_partitions(spark, os.path.join(out, "_sidecar"))
+    assert sorted(done1) == sorted(m[BUCKET_COL] for m in metas1)
+    total_docs = sum(m["n_docs"] for m in metas1)
+    assert total_docs == 12
+    for m in metas1:
+        assert m["chars_extracted"] > 0
+        assert m["blocks_kept"] > 0
+
+    # simulate a crash after the first bucket: drop all but one marker
+    sidecar = os.path.join(out, "_sidecar")
+    keep = sorted(os.listdir(sidecar))[0]
+    kept_bucket = json.load(open(os.path.join(sidecar, keep)))[BUCKET_COL]
+    for f in os.listdir(sidecar):
+        if f != keep:
+            os.remove(os.path.join(sidecar, f))
+
+    # resume: only the missing buckets are reprocessed
+    metas2 = run_resumable(pages, spark, out, n_buckets=4)
+    redone = sorted(m[BUCKET_COL] for m in metas2)
+    assert kept_bucket not in redone
+    assert sorted(redone + [kept_bucket]) == sorted(done1)
+
+    # idempotence: outputs cover all docs exactly once
+    result = spark.read.parquet(os.path.join(out, f"{BUCKET_COL}=*"))
+    assert result.count() == 12
+    assert result.select("url").distinct().count() == 12
+
+
+def test_resume_filter_empty_when_all_committed(spark, tmp_path):
+    out = str(tmp_path / "out2")
+    pages = synth_pages(spark, 6)
+    run_resumable(pages, spark, out, n_buckets=2)
+    remaining = resume_filter(pages, spark, os.path.join(out, "_sidecar"), 2)
+    assert remaining.count() == 0
