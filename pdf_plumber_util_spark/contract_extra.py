@@ -245,6 +245,16 @@ def q_range_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_h4_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: iterative per-page boundary walk + modal vote (applyInPandas;
+    rows-only check — genuinely sequential state per page)."""
+    from .operators.boundaries_iterative import iterative_boundaries
+    from .operators.spacing import line_spacing_summary
+
+    lines = _contract_lines(spark, sf_dir)
+    return iterative_boundaries(lines, line_spacing_summary(lines))
+
+
 def q_method_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2+C7: positional full-outer zip of the default (y_tol=3) lines
     against the scanner-variant clustering (y_tol=2, C7)."""
@@ -298,6 +308,7 @@ EXTRA_QUERIES = {
     "h3_contextual_candidates": q_contextual_candidates,
     "v1_range_match": q_range_match,
     "j2_method_compare": q_method_compare,
+    "h4_iterative_boundaries": q_h4_boundaries,
 }
 
 

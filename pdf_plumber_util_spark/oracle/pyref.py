@@ -456,6 +456,65 @@ def final_boundaries(header_votes: list[float], footer_votes: list[float],
     return hb, ft
 
 
+def h4_page_boundaries(lines: list[Line], page_height: float, base_spacing: float,
+                       header_zone: float = 90.0, footer_zone_in: float = 1.0,
+                       large_mult: float = 1.8, small_mult: float = 1.3
+                       ) -> tuple[float, float]:
+    """H4 (analyzer_head.py:26-228): iterative per-page boundary walk."""
+    tops = [ln["bbox"]["top"] for ln in lines]
+    bottoms = [ln["bbox"]["bottom"] for ln in lines]
+    n = len(tops)
+    footer_min = page_height - footer_zone_in * 72.0
+    large, small = base_spacing * large_mult, base_spacing * small_mult
+
+    hy, h_any, last_zone_bot = 0.0, False, 0.0
+    for i in range(n):
+        t, b = tops[i], bottoms[i]
+        if i == 0 and t >= header_zone:
+            break
+        if t < header_zone:
+            last_zone_bot = max(last_zone_bot, b)
+            h_any = True
+            if i + 1 < n:
+                gap = max(tops[i + 1] - b, 0.0)
+                if gap >= large:
+                    hy = b
+                    break
+                if gap >= small:
+                    hy = b
+            else:
+                hy = b
+                break
+        else:
+            if h_any and hy == 0.0:
+                hy = last_zone_bot
+            break
+
+    fy, f_any, first_zone_top = page_height, False, page_height
+    for i in range(n - 1, -1, -1):
+        t, b = tops[i], bottoms[i]
+        if i == n - 1 and b <= footer_min:
+            break
+        if b > footer_min:
+            first_zone_top = min(first_zone_top, t)
+            f_any = True
+            if i - 1 >= 0:
+                gap = max(t - bottoms[i - 1], 0.0)
+                if gap >= large:
+                    fy = t
+                    break
+                if gap >= small:
+                    fy = t
+            else:
+                fy = t
+                break
+        else:
+            if f_any and fy == page_height:
+                fy = first_zone_top
+            break
+    return round(hy, 1), round(fy, 1)
+
+
 def extract_body_text(pages_lines: list[dict]) -> str:
     """Flagship: end-to-end main-content text for one document.
 
