@@ -1,0 +1,102 @@
+"""Stage sinks and the human-readable analysis report.
+
+K1 stage-named sink (utils/file_handler.py:48-75): `{base}_{stage}.json`
+becomes a stage-suffixed table directory; K2's streaming serialization is
+inherent in Spark's partition-at-a-time writers; K3 text report
+(analyzer.py:883-1166) renders driver-side from the tiny doc_stats
+aggregates; K4 info/metadata sink (extractor.py:587-626).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_stage(df: DataFrame, out_dir: str, base: str, stage: str,
+                partition_cols: tuple[str, ...] = ()) -> str:
+    """K1: write a pipeline stage table under `{out_dir}/{base}_{stage}`."""
+    path = os.path.join(out_dir, f"{base}_{stage}")
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+    return path
+
+
+def read_lines_stage(spark: SparkSession, path: str) -> DataFrame:
+    """S2: load a lines stage table (schema enforced by parquet)."""
+    return spark.read.parquet(path)
+
+
+def parse_page_range(spec: str, max_page: int) -> list[int]:
+    """S3 (plumb_layout.py:8-21): '1-3,5' -> [1,2,3,5], clamped."""
+    pages: set[int] = set()
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "-" in part:
+            lo, hi = part.split("-", 1)
+            lo_i = int(lo) if lo else 1
+            hi_i = int(hi) if hi else max_page
+            pages.update(range(lo_i, min(hi_i, max_page) + 1))
+        else:
+            p = int(part)
+            if p <= max_page:
+                pages.add(p)
+    return sorted(pages)
+
+
+def filter_page_range(df: DataFrame, spec: str, max_page: int) -> DataFrame:
+    """S3: include-set page filter (Iceberg partition pruning upstream)."""
+    return df.filter(F.col("page").isin(parse_page_range(spec, max_page)))
+
+
+def extraction_info(lines: DataFrame, words: DataFrame) -> DataFrame:
+    """K4 (extractor.py:587-626): totals per document."""
+    lp = lines.groupBy("url").agg(
+        F.countDistinct("page").cast("long").alias("total_pages"),
+        F.count("*").cast("long").alias("total_lines"),
+    )
+    wp = words.groupBy("url").agg(F.count("*").cast("long").alias("total_words"))
+    return lp.join(wp, "url", "left")
+
+
+def render_report(doc_stats_row: dict, rules_rows: list[dict],
+                  bounds_row: dict | None = None) -> str:
+    """K3 (analyzer.py:883-1166): per-document text report, rendered
+    driver-side from already-aggregated rows (never from raw data)."""
+    out = []
+    out.append("=" * 60)
+    out.append(f"Document analysis: {doc_stats_row.get('url', '?')}")
+    out.append("=" * 60)
+    out.append(
+        f"Most common font: {doc_stats_row.get('most_common_font')} | "
+        f"most common size: {doc_stats_row.get('most_common_size')} | "
+        f"segments: {doc_stats_row.get('total_segments')}"
+    )
+    out.append("-" * 60)
+    out.append("Contextual spacing rules:")
+    for r in sorted(rules_rows, key=lambda r: r["context_size"]):
+        out.append(
+            f"  size {r['context_size']:>5}: mode gap {r['most_common_gap']} "
+            f"line<=({r['range_hi']:.2f}) para<=({r['para_spacing_max']:.2f}) "
+            f"gaps={r['total_gaps']} lines={r['total_lines']}"
+        )
+    if bounds_row:
+        out.append("-" * 60)
+        out.append(
+            f"Content window: header_bottom={bounds_row['header_bottom']} "
+            f"footer_top={bounds_row['footer_top']}"
+        )
+    return "\n".join(out)
+
+
+def is_toc_line(col):
+    """O7 (sampling.py:444): line contains '...' and last token is a page
+    number."""
+    last_tok = F.element_at(F.split(F.trim(col), r"\s+"), -1)
+    return col.contains("...") & last_tok.rlike(r"^\d+$")
