@@ -74,9 +74,14 @@ def main() -> None:
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
         generate_pages(n_docs, pages_dir)
 
+    # interleave levels so page-cache warming / thermal drift can't bias
+    # one level; one discarded warm-up pair first
     results = {low: [], high: []}
     for cores in (low, high):
-        for _ in range(reps):
+        r = run_once(repo, pages_dir, cores)
+        print(json.dumps({"warmup": r}), file=sys.stderr)
+    for _ in range(reps):
+        for cores in (low, high):
             r = run_once(repo, pages_dir, cores)
             results[cores].append(r)
             print(json.dumps(r), file=sys.stderr)
