@@ -704,3 +704,145 @@ UNION ALL
 SELECT url, page, 'tail' AS part FROM tail WHERE hr <= CEIL(tn * 0.10)
 """,
 }
+
+
+# ------------------------------------------------- round-1 late additions
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline, bounded id range);
+    scale path = similarity.embedding_neardup_lsh (bucket join)."""
+    out = similarity.embedding_neardup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, max_vec_id=200
+    )
+    return out.select(
+        "vec_a", "vec_b",
+        (py_round(F.col("cosine") * 1000000.0) / 1000000.0).alias("cosine_r"),
+    )
+
+
+def q_char_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: char-class run segmentation (lag+cumsum sessionization at char
+    granularity) over the first 20 documents."""
+    return text_analysis.char_runs(
+        load_table(spark, sf_dir, "documents"), max_doc_id=20
+    )
+
+
+def q_attribute_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 (word_attrib.py:5-51): non-null occurrence count per word
+    attribute."""
+    return stats.attribute_profile(words_from_lineitem(spark, sf_dir))
+
+
+def q_match_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 (document_scanner.py:443-493): matches grouped by pattern type
+    with sorted distinct examples (joined to a string for hashing)."""
+    from .operators.patterns import group_matches_for_review
+
+    m = scan_patterns(_contract_lines(spark, sf_dir), registry=_TEST_PATTERNS)
+    g = group_matches_for_review(m)
+    return g.select(
+        "pattern_type", "pattern_name", "n",
+        F.concat_ws("|", "examples").alias("examples"),
+    )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (rolling-hash family): md5 over
+    O3-normalized text + bucket prefix."""
+    return text_analysis.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+EXTRA_QUERIES.update({
+    "d6_embedding_neardup": q_embedding_neardup,
+    "c8_char_runs": q_char_runs,
+    "s6_attribute_profile": q_attribute_profile,
+    "r4_match_groups": q_match_groups,
+    "t3_fingerprints": q_fingerprints,
+})
+
+EXTRA_ORACLES.update({
+    "d6_embedding_neardup": f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200
+), n AS (
+  SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e
+), sims AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {_sql_py_round('cosine * 1000000.0')} / 1000000.0 AS cosine_r
+FROM sims WHERE cosine >= 0.4
+""",
+    "c8_char_runs": r"""
+WITH chars AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(text, '[\s\S]')) AS ch,
+    unnest(range(0, len(regexp_extract_all(text, '[\s\S]')))) AS pos
+  FROM documents WHERE doc_id < 20
+), classed AS (
+  SELECT doc_id, pos,
+    CASE WHEN regexp_matches(ch, '[0-9]') THEN 'digit'
+         WHEN regexp_matches(ch, '[A-Za-z]') THEN 'alpha'
+         WHEN regexp_matches(ch, '\s') THEN 'space'
+         ELSE 'punct' END AS cls
+  FROM chars
+), flagged AS (
+  SELECT *, CASE WHEN LAG(cls) OVER w IS NULL OR LAG(cls) OVER w <> cls
+                 THEN 1 ELSE 0 END AS is_new
+  FROM classed WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), runs AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+)
+SELECT doc_id, CAST(run_id AS BIGINT) AS run_id,
+  FIRST(cls ORDER BY pos) AS char_class,
+  CAST(COUNT(*) AS BIGINT) AS run_len,
+  CAST(MIN(pos) AS BIGINT) AS run_start
+FROM runs GROUP BY doc_id, run_id
+""",
+    "s6_attribute_profile": WORDS_FROM_LINEITEM_SQL + """
+SELECT a.attribute, a.n_present FROM (
+  SELECT 'url' AS attribute, CAST(COUNT(url) AS BIGINT) AS n_present FROM words
+  UNION ALL SELECT 'page', COUNT(page) FROM words
+  UNION ALL SELECT 'word_idx', COUNT(word_idx) FROM words
+  UNION ALL SELECT 'text', COUNT(text) FROM words
+  UNION ALL SELECT 'x0', COUNT(x0) FROM words
+  UNION ALL SELECT 'x1', COUNT(x1) FROM words
+  UNION ALL SELECT 'top', COUNT(top) FROM words
+  UNION ALL SELECT 'bottom', COUNT(bottom) FROM words
+  UNION ALL SELECT 'fontname', COUNT(fontname) FROM words
+  UNION ALL SELECT 'size', COUNT(size) FROM words
+  UNION ALL SELECT 'upright', COUNT(upright) FROM words
+  UNION ALL SELECT 'page_width', COUNT(page_width) FROM words
+  UNION ALL SELECT 'page_height', COUNT(page_height) FROM words
+) a
+""",
+    "r4_match_groups": _LINES_SQL + r"""
+, pats AS (
+  SELECT * FROM (VALUES
+    ('flag_token', 'token', '\b[ANR]\d+\b'),
+    ('a_token', 'token', '\bA\d+\b'),
+    ('token_pair', 'token', '[A-Z]\d+ [A-Z]\d+')
+  ) AS t(pattern_name, pattern_type, rx)
+), m AS (
+  SELECT p.pattern_type, p.pattern_name,
+    unnest(regexp_extract_all(l.text, p.rx)) AS match
+  FROM lines l CROSS JOIN pats p
+  WHERE trim(l.text) <> ''
+)
+SELECT pattern_type, pattern_name,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  STRING_AGG(DISTINCT match, '|' ORDER BY match) AS examples
+FROM m GROUP BY pattern_type, pattern_name
+""",
+    "t3_fingerprints": r"""
+SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8) AS fp_bucket
+FROM documents
+""",
+})

@@ -102,3 +102,46 @@ def bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine")
     )
+
+
+def embedding_neardup(emb: DataFrame, threshold: float = 0.9,
+                      max_vec_id: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b) with a < b and
+    cosine(a, b) >= threshold.
+
+    Correctness baseline is the exact all-pairs product over a bounded id
+    range (the oracle-checkable path). The 100 TB path replaces the
+    self-join with `hyperplane_buckets` candidate generation (same exact
+    cosine verify afterwards) — see `embedding_neardup_lsh`.
+    """
+    base = with_norm(emb)
+    if max_vec_id is not None:
+        base = base.filter(F.col("vec_id") < max_vec_id)
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va"),
+                    F.col("_norm").alias("_na"))
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb"),
+                    F.col("_norm").alias("_nb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sim = pairs.select(
+        "vec_a", "vec_b",
+        (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+    )
+    return sim.filter(F.col("cosine") >= threshold)
+
+
+def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.9,
+                          n_planes: int = 6) -> DataFrame:
+    """Scale path for near-dup: candidates only within an LSH bucket
+    (co-partitioned equi-join on bucket — no cross product), then exact
+    cosine verify. Recall < 1 by construction (rows-only check)."""
+    b = hyperplane_buckets(emb, n_planes)
+    l = b.select("bucket", F.col("vec_id").alias("vec_a"),
+                 F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
+    r = b.select("bucket", F.col("vec_id").alias("vec_b"),
+                 F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
+    pairs = l.join(r, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    sim = pairs.select(
+        "vec_a", "vec_b",
+        (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+    )
+    return sim.filter(F.col("cosine") >= threshold)

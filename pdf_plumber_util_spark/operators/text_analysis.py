@@ -89,3 +89,41 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.substring(F.md5(norm), 1, 8).alias("fp_bucket"),
     )
+
+
+def char_runs(docs: DataFrame, max_doc_id: int | None = None) -> DataFrame:
+    """C8 (get_fonts.py:40-88): char-level run segmentation — the
+    reference splits character runs on font/size change; generalized here
+    to character-class runs (digit/alpha/space/punct) over `text`, using
+    the same lag-flag -> cumulative-sum sessionization as C3.
+    """
+    from pyspark.sql import Window
+
+    d = docs if max_doc_id is None else docs.filter(F.col("doc_id") < max_doc_id)
+    chars = d.select(
+        "doc_id",
+        F.posexplode(F.regexp_extract_all(F.col("text"), F.lit(r"[\s\S]"), 0)).alias(
+            "pos", "ch"
+        ),
+    )
+    cls = (
+        F.when(F.col("ch").rlike("[0-9]"), "digit")
+        .when(F.col("ch").rlike("[A-Za-z]"), "alpha")
+        .when(F.col("ch").rlike(r"\s"), "space")
+        .otherwise("punct")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = chars.withColumn("cls", cls).withColumn(
+        "is_new",
+        F.when(F.lag("cls").over(w).isNull() | (F.lag("cls").over(w) != F.col("cls")), 1)
+        .otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return runs.groupBy("doc_id", "run_id").agg(
+        F.min_by("cls", "pos").alias("char_class"),
+        F.count("*").cast("long").alias("run_len"),
+        F.min("pos").cast("long").alias("run_start"),
+    )

@@ -1,0 +1,58 @@
+"""Round-1 late additions: embedding near-dup (exact + LSH), char-class
+runs (C8), fingerprints, attribute profile, match grouping (R4)."""
+
+from pyspark.sql import functions as F
+
+from pdf_plumber_util_spark.operators import similarity, stats, text_analysis
+from pdf_plumber_util_spark.sources.tables import load_table, words_from_lineitem
+
+
+def test_neardup_lsh_subset_of_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.embedding_neardup(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.embedding_neardup_lsh(emb, threshold=0.4, n_planes=4).collect()
+    }
+    assert set(lsh) <= set(exact)  # candidate pruning never invents pairs
+    for k, v in lsh.items():  # identical exact cosine on surviving pairs
+        assert abs(v - exact[k]) < 1e-12
+
+
+def test_char_runs_partition_text(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    runs = text_analysis.char_runs(docs).toPandas()
+    lens = (
+        docs.select("doc_id", F.length("text").alias("n")).toPandas().set_index("doc_id")["n"]
+    )
+    by_doc = runs.groupby("doc_id")
+    # runs tile the text exactly: lengths sum to n_chars, starts are
+    # cumulative, ids are 1..k, and adjacent runs never share a class
+    for doc_id, g in by_doc:
+        g = g.sort_values("run_id")
+        assert g["run_len"].sum() == lens[doc_id]
+        assert list(g["run_id"]) == list(range(1, len(g) + 1))
+        assert (g["run_start"].values[1:]
+                == (g["run_start"] + g["run_len"]).values[:-1]).all()
+        assert (g["char_class"].values[1:] != g["char_class"].values[:-1]).all()
+
+
+def test_fingerprints_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, " hello\nWORLD "), (3, "other text")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fingerprint for r in text_analysis.fingerprints(df).collect()}
+    assert fp[1] == fp[2]  # case/whitespace-normalized equal
+    assert fp[1] != fp[3]
+
+
+def test_attribute_profile_counts(spark, sf_dir):
+    words = words_from_lineitem(spark, sf_dir)
+    n = words.count()
+    prof = {r.attribute: r.n_present for r in stats.attribute_profile(words).collect()}
+    assert set(prof) == set(words.columns)
+    assert all(v == n for v in prof.values())  # synthetic words are dense
