@@ -99,8 +99,13 @@ def _font_for(family: str, marks: frozenset) -> tuple[str, bool]:
     return font, is_link
 
 
-def layout_html(html: str) -> list[dict]:
-    """Render html to a flat word list (schema WORD_FIELDS). Deterministic."""
+def layout_html_rows(html: str) -> list[tuple]:
+    """Render html to flat word tuples in WORD_FIELDS order. Deterministic.
+
+    Tuple-based hot path (the pandas/Arrow tokenizer builds columnar
+    batches straight from these rows); `layout_html` wraps to dicts for
+    the fixture/struct-UDF surface.
+    """
     parser = _Collector()
     parser.feed(html)
     parser.close()
@@ -108,28 +113,25 @@ def layout_html(html: str) -> list[dict]:
     furniture = [(t, ws) for t, ws in parser.blocks if t in FURNITURE]
     flow = [(t, ws) for t, ws in parser.blocks if t not in FURNITURE]
 
-    pages: list[list[dict]] = [[]]
+    pages: list[list[tuple]] = [[]]
     y = CONTENT_TOP
 
-    def emit_line(out: list[dict], words: list[tuple[str, frozenset]], family: str,
+    def emit_line(out: list[tuple], words: list[tuple[str, frozenset]], family: str,
                   size: float, top: float, tag: str) -> None:
         # pdfplumber with keep_blank_chars yields word chunks that carry
         # their separating blanks; we mimic by giving every non-final word
         # a trailing space (the segment text concat then reads naturally,
         # and C4's strip() trims the line-final one).
         x = MARGIN_X
+        half, gap, bottom = 0.5 * size, 0.3 * size, top + size
+        last = len(words) - 1
         for i, (text, marks) in enumerate(words):
             font, is_link = _font_for(family, marks)
-            w = len(text) * 0.5 * size
-            chunk = text + (" " if i + 1 < len(words) else "")
-            out.append(
-                {
-                    "text": chunk, "x0": x, "x1": x + w, "top": top,
-                    "bottom": top + size, "fontname": font, "size": size,
-                    "upright": True, "is_link": is_link, "tag": tag,
-                }
-            )
-            x += w + 0.3 * size
+            w = len(text) * half
+            chunk = text if i == last else text + " "
+            # (text, x0, x1, top, bottom, fontname, size, upright, is_link, tag)
+            out.append((chunk, x, x + w, top, bottom, font, size, True, is_link, tag))
+            x += w + gap
 
     def wrap(words: list[tuple[str, frozenset]], size: float) -> list[list]:
         """Greedy wrap into lines that fit the content width."""
@@ -158,22 +160,24 @@ def layout_html(html: str) -> list[dict]:
             y += lh
 
     # page furniture on every page (drives cross-page boundary voting)
-    out: list[dict] = []
+    out: list[tuple] = []
     idx = 0
     for pno, page_words in enumerate(pages, 1):
-        stamped: list[dict] = []
+        stamped: list[tuple] = []
         for t, ws in furniture:
             if t == "header":
                 emit_line(stamped, ws, "Helvetica", 8.0, HEADER_TOP, t)
             else:
                 emit_line(stamped, ws, "Helvetica", 8.0, FOOTER_BOTTOM - 8.0, t)
         for w in stamped + page_words:
-            w = dict(w)
-            w["page"] = pno
-            w["word_idx"] = idx
+            out.append((pno, idx) + w)
             idx += 1
-            out.append(w)
     return out
+
+
+def layout_html(html: str) -> list[dict]:
+    """Render html to a flat word-dict list (schema WORD_FIELDS)."""
+    return [dict(zip(WORD_FIELDS, r)) for r in layout_html_rows(html)]
 
 
 def plain_text(html: str) -> str:
