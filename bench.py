@@ -45,6 +45,21 @@ def main() -> None:
     # JVM/codegen warm-up on the smallest sf (excluded from timings)
     qmap["flagship_body_text"](spark, "/root/testdata/sf0.001").count()
 
+    # html-tokenizer end-to-end extraction on synthetic Common-Crawl-style
+    # pages (the north-rule workload: html -> words -> lines -> blocks ->
+    # boundaries -> body text); one warm-up pass then one timed pass
+    from pdf_plumber_util_spark.plans.extract import extract_documents
+    from pdf_plumber_util_spark.sources.pages import synth_pages
+
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
+    pages = synth_pages(spark, n_pages, partitions=CPUS * 4).persist()
+    pages.count()
+    extract_documents(pages.limit(256)).count()
+    t0 = time.time()
+    n_extracted = extract_documents(pages).count()
+    extract_sec = time.time() - t0
+    pages.unpersist()
+
     timings: dict[str, float] = {}
     total = 0.0
     n_docs = 0
@@ -68,6 +83,9 @@ def main() -> None:
         "cpus": CPUS,
         "flagship_docs": n_docs,
         "flagship_docs_per_sec": round(n_docs / flag_sec, 2) if flag_sec else None,
+        "html_extract_docs": n_extracted,
+        "html_extract_sec": round(extract_sec, 3),
+        "html_extract_docs_per_sec": round(n_extracted / extract_sec, 2),
     }
     print(json.dumps(result))
 

@@ -132,13 +132,15 @@ def extract_documents(pages: DataFrame, cfg: EngineConfig = DEFAULT,
         footer_zone_in=cfg.footer_zone_inches,
         large_mult=cfg.large_gap_mult,
     )
-    doc_bottom = flines.groupBy("url").agg(
-        F.max(F.col("bbox")["bottom"]).alias("doc_bottom")
+    # one doc-level aggregation serves the boundary default AND the
+    # north-rule parse metrics (one job fewer on the analysis tail)
+    doc_stats_df = flines.groupBy("url").agg(
+        F.max(F.col("bbox")["bottom"]).alias("doc_bottom"),
+        F.count("*").alias("n_lines"),
+        F.countDistinct("page").alias("n_pages"),
     )
-    bounds = final_boundaries(cands, doc_bottom)
+    bounds = final_boundaries(cands, doc_stats_df.select("url", "doc_bottom"))
     body = body_text(blocks, bounds)
-    # parse metrics per north_rule sidecar
-    parse_stats = flines.groupBy("url").agg(
-        F.count("*").alias("n_lines"), F.countDistinct("page").alias("n_pages")
+    return body.join(bounds, "url", "left").join(
+        doc_stats_df.drop("doc_bottom"), "url", "left"
     )
-    return body.join(bounds, "url", "left").join(parse_stats, "url", "left")
