@@ -109,7 +109,7 @@ def _interleaved(pages_dir: str, low: int, high: int, rounds: int) -> dict:
     for _ in range(rounds):
         caps.append(wait_for_quiet(threshold))
         for cores in (low, high):
-            r = run_level(pages_dir, cores, reps=2, warmups=1)
+            r = run_level(pages_dir, cores, reps=2, warmups=2)
             docs = r["docs"]
             all_secs[cores].extend(r["secs"])
             print(json.dumps(r), file=sys.stderr, flush=True)
