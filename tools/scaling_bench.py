@@ -112,9 +112,11 @@ def _interleaved(pages_dir: str, low: int, high: int, rounds: int) -> dict:
     for _ in range(rounds):
         caps.append(wait_for_quiet(threshold))
         for cores in (low, high):
-            # low-core passes are long enough that one pass fully JITs;
-            # high-core JVMs need two (observed 2-3x slow first timed pass)
-            r = run_level(pages_dir, cores, reps=2, warmups=1 if cores == low else 2)
+            # low-core passes are long enough that one pass settles the
+            # JVM; high-core JVMs show a systematic 1.2-2x inflated first
+            # timed pass even after two discarded passes (see BASELINE.md
+            # addendum), so discard four there
+            r = run_level(pages_dir, cores, reps=2, warmups=1 if cores == low else 4)
             docs = r["docs"]
             all_secs[cores].extend(r["secs"])
             print(json.dumps(r), file=sys.stderr, flush=True)
