@@ -53,6 +53,20 @@ def sql_round_to(expr: str, step: float) -> str:
     return f"({_sql_py_round(f'({expr}) / {step}')} * {step})"
 
 
+# C1 sessionization over a words CTE (shared with the C2 oracle, which
+# runs it on the tight-x geometry instead)
+_LINED_FRAGMENT = """
+, lined AS (
+  SELECT w.*, CAST(COALESCE(SUM(CASE WHEN w.top - w.lag_top > 3.0 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY w.url, w.page ORDER BY w.top, w.word_idx
+          ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS line_id
+  FROM (
+    SELECT *, LAG(top) OVER (PARTITION BY url, page ORDER BY top, word_idx) AS lag_top
+    FROM words
+  ) w
+)
+"""
+
 # the C1/C3 sessionization + segment + line CTE chain used by most oracles
 _LINES_SQL = (
     WORDS_FROM_LINEITEM_SQL

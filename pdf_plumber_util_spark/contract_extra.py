@@ -8,8 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .contract import _LINES_SQL, _RULES_SQL, _sql_py_round, sql_round_to
-from .sources.tables import WORDS_FROM_LINEITEM_SQL
+from .contract import _LINED_FRAGMENT, _LINES_SQL, _RULES_SQL, _sql_py_round, sql_round_to
+from .sources.tables import WORDS_FROM_LINEITEM_SQL, WORDS_TIGHT_SQL
 from .functions.rounding import py_round
 from .operators import dedup, similarity, stats, text_analysis
 from .operators.patterns import scan_patterns
@@ -748,6 +748,20 @@ def q_match_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_combined_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (extractor.py:417-460): x-tolerance word merging over the
+    tight-pitch words geometry (the only one where merges can occur)."""
+    from .operators import assign_line_ids_window, combine_words_x
+
+    words = words_from_lineitem(spark, sf_dir, tight_x=True)
+    merged = combine_words_x(assign_line_ids_window(words))
+    return merged.select(
+        "url", "page", "line_id",
+        F.col("word_idx").cast("long").alias("word_idx"),
+        "text", "x0", "x1", "fontname", "size",
+    )
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (rolling-hash family): md5 over
     O3-normalized text + bucket prefix."""
@@ -755,6 +769,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES.update({
+    "c2_combined_words": q_combined_words,
     "d6_embedding_neardup": q_embedding_neardup,
     "c8_char_runs": q_char_runs,
     "s6_attribute_profile": q_attribute_profile,
@@ -763,6 +778,27 @@ EXTRA_QUERIES.update({
 })
 
 EXTRA_ORACLES.update({
+    "c2_combined_words": WORDS_TIGHT_SQL + _LINED_FRAGMENT + """
+, cgrp AS (
+  SELECT *, SUM(CASE WHEN lag_x1 IS NOT NULL AND ABS(x0 - lag_x1) <= 3.0
+                     THEN 0 ELSE 1 END)
+    OVER (PARTITION BY url, page, line_id ORDER BY x0, word_idx
+          ROWS UNBOUNDED PRECEDING) AS grp
+  FROM (
+    SELECT *, LAG(x1) OVER (PARTITION BY url, page, line_id
+                            ORDER BY x0, word_idx) AS lag_x1
+    FROM lined
+  )
+)
+SELECT url, page, line_id,
+  CAST(FIRST(word_idx ORDER BY x0, word_idx) AS BIGINT) AS word_idx,
+  STRING_AGG(text, '' ORDER BY x0, word_idx) AS text,
+  MIN(x0) AS x0,
+  FIRST(x1 ORDER BY x0 DESC, word_idx DESC) AS x1,
+  FIRST(fontname ORDER BY x0, word_idx) AS fontname,
+  FIRST(size ORDER BY x0, word_idx) AS size
+FROM cgrp GROUP BY url, page, line_id, grp
+""",
     "d6_embedding_neardup": f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200

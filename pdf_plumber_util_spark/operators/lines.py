@@ -100,28 +100,49 @@ def assign_line_ids_window(words: DataFrame, y_tol: float = 3.0) -> DataFrame:
 def combine_words_x(words: DataFrame, x_tol: float = 3.0) -> DataFrame:
     """C2 (extractor.py:417-460): merge consecutive words in a line when
     ``abs(next.x0 - cur.x1) <= x_tol``. The running value compared against is
-    always the *previous word's* x1 (merged or not), so the chain is exactly
+    always the *previous word's* x1 (the merge extends cur.x1 to the last
+    member's x1, which IS the previous word's), so the chain is exactly
     lag-expressible: flag + cumulative sum + order-preserving concat.
-    Requires ``line_id``. Emits merged words (text concatenated, x1 of the
-    last member, other attrs from the first member).
+    Requires ``line_id``. Emits merged words: text concatenated in (x0,
+    word_idx) order, x0/top/bottom/font/size/upright/word_idx from the
+    first member, x1 from the last member.
+
+    Plan shape: groupBy aggregation (one buffer per merged word), NOT a
+    window-frame collect_list (which would copy the member array once per
+    row — O(n^2) per group; same reasoning as build_segments below). The
+    grouping key extends the (url, page) partitioning, so no extra
+    exchange beyond the C1 window's.
     """
     w = Window.partitionBy("url", "page", "line_id").orderBy("x0", "word_idx")
     flag = F.when(
         F.abs(F.col("x0") - F.lag("x1").over(w)) <= F.lit(x_tol), F.lit(0)
     ).otherwise(F.lit(1))
     df = words.withColumn("_grp", F.sum(flag).over(w))
-    gw = Window.partitionBy("url", "page", "line_id", "_grp")
-    ordered = F.array_sort(F.collect_list(F.struct("x0", "word_idx", "text", "x1")).over(gw))
-    return (
-        df.withColumn("_members", ordered)
-        .withColumn("_rn", F.row_number().over(gw.orderBy("x0", "word_idx")))
-        .filter(F.col("_rn") == 1)
-        .withColumn(
-            "text",
-            F.aggregate("_members", F.lit(""), lambda acc, m: F.concat(acc, m["text"])),
-        )
-        .withColumn("x1", F.element_at("_members", -1)["x1"])
-        .drop("_members", "_rn", "_grp")
+    passthrough = [c for c in ("page_width", "page_height") if c in words.columns]
+    agg = df.groupBy("url", "page", "line_id", "_grp").agg(
+        F.array_sort(F.collect_list(F.struct("x0", "word_idx", "text"))).alias("_members"),
+        F.min(
+            F.struct("x0", "word_idx", "top", "bottom", "fontname", "size", "upright")
+        ).alias("_first"),
+        F.max(F.struct("x0", "word_idx", "x1")).alias("_last"),
+        *[F.first(c).alias(c) for c in passthrough],
+    )
+    return agg.select(
+        "url",
+        "page",
+        "line_id",
+        F.col("_first")["word_idx"].alias("word_idx"),
+        F.aggregate(
+            "_members", F.lit(""), lambda acc, m: F.concat(acc, m["text"])
+        ).alias("text"),
+        F.col("_first")["x0"].alias("x0"),
+        F.col("_last")["x1"].alias("x1"),
+        F.col("_first")["top"].alias("top"),
+        F.col("_first")["bottom"].alias("bottom"),
+        F.col("_first")["fontname"].alias("fontname"),
+        F.col("_first")["size"].alias("size"),
+        F.col("_first")["upright"].alias("upright"),
+        *passthrough,
     )
 
 

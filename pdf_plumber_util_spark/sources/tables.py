@@ -47,8 +47,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def words_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthetic words DF (schema compatible with the tokenizer output)."""
+def words_from_lineitem(spark: SparkSession, sf_dir: str,
+                        tight_x: bool = False) -> DataFrame:
+    """Synthetic words DF (schema compatible with the tokenizer output).
+
+    ``tight_x=True`` switches to the C2 geometry: slot pitch 14 pt and
+    ``x1 = x0 + 10 + (qty % 8) * 0.5``, so the inter-word gap is
+    ``4 - (qty % 8) * 0.5`` in {0.5 .. 4.0} — some pairs fall inside the
+    3.0 pt x-tolerance and merge, others don't (the default 50 pt pitch
+    can never produce a merge, which left C2 untestable in round 1).
+    """
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
         F.concat(F.lit("doc"), (F.col("l_orderkey") % 50).cast("string")).alias("url"),
@@ -104,11 +112,17 @@ def words_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     order_cols = ["l_orderkey", "l_linenumber", "qty", "text", "size"]
     slot_w = Window.partitionBy("url", "page", "line_no").orderBy(*order_cols)
     idx_w = Window.partitionBy("url", "page").orderBy("line_no", *order_cols)
+    pitch = 14.0 if tight_x else 50.0
+    width = (
+        (F.col("qty").cast("int") % 8).cast("double") * 0.5
+        if tight_x
+        else F.col("qty") * 0.5
+    )
     geo = (
         base.withColumn("slot", F.row_number().over(slot_w))
         .withColumn("word_idx", (F.row_number().over(idx_w) - 1).cast("long"))
-        .withColumn("x0", F.lit(72.0) + (F.col("slot") - 1).cast("double") * 50.0)
-        .withColumn("x1", F.col("x0") + 10.0 + F.col("qty") * 0.5)
+        .withColumn("x0", F.lit(72.0) + (F.col("slot") - 1).cast("double") * pitch)
+        .withColumn("x1", F.col("x0") + 10.0 + width)
     )
     return geo.select(
         "url", "page", "word_idx", "text", "x0", "x1", "top", "bottom",
@@ -117,7 +131,8 @@ def words_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The same table as a DuckDB CTE fragment. Append query SQL after it.
-WORDS_FROM_LINEITEM_SQL = """
+# {x0} / {x1} are filled per geometry (default vs tight_x) below.
+_WORDS_SQL_TEMPLATE = """
 WITH _w0b AS (
   SELECT
     'doc' || CAST(l_orderkey % 50 AS VARCHAR) AS url,
@@ -152,13 +167,25 @@ WITH _w0b AS (
 ), words AS (
   SELECT url, page, line_no, top, bottom, text, fontname, size, upright,
     CAST(ROW_NUMBER() OVER (PARTITION BY url, page ORDER BY line_no, l_orderkey, l_linenumber, qty, text, size) - 1 AS BIGINT) AS word_idx,
-    CAST(72 + (ROW_NUMBER() OVER (PARTITION BY url, page, line_no ORDER BY l_orderkey, l_linenumber, qty, text, size) - 1) * 50 AS DOUBLE) AS x0,
-    CAST(72 + (ROW_NUMBER() OVER (PARTITION BY url, page, line_no ORDER BY l_orderkey, l_linenumber, qty, text, size) - 1) * 50 + 10 + qty * 0.5 AS DOUBLE) AS x1,
+    CAST({x0} AS DOUBLE) AS x0,
+    CAST({x0} + 10 + {w} AS DOUBLE) AS x1,
     CAST(612.0 AS DOUBLE) AS page_width,
     CAST(792.0 AS DOUBLE) AS page_height
   FROM _w0
 )
 """
+
+_SLOT0_SQL = ("(ROW_NUMBER() OVER (PARTITION BY url, page, line_no "
+              "ORDER BY l_orderkey, l_linenumber, qty, text, size) - 1)")
+
+WORDS_FROM_LINEITEM_SQL = _WORDS_SQL_TEMPLATE.format(
+    x0=f"72 + {_SLOT0_SQL} * 50", w="qty * 0.5"
+)
+
+# C2 geometry twin (see words_from_lineitem tight_x docstring)
+WORDS_TIGHT_SQL = _WORDS_SQL_TEMPLATE.format(
+    x0=f"72 + {_SLOT0_SQL} * 14", w="(CAST(qty AS INT) % 8) * 0.5"
+)
 
 # SQL fragment: banker's rounding of (expr) to the nearest (step) — the
 # same floor+half-to-even correction the Spark side uses (functions/rounding.py)

@@ -117,3 +117,48 @@ def test_predominant_and_coverage(both):
 def test_renumbering(both):
     got, want = both
     assert list(got["original_line_number"]) == list(want["original_line_number"])
+
+
+# ---------------------------------------------------------------- C2 ----
+
+
+def test_combine_words_x_vs_pyref(spark, sf_dir):
+    """C2 parity: Spark combine_words_x vs the pure-Python oracle on the
+    tight-pitch synthetic words (gaps 0.5-4.0 pt straddle the 3.0 pt
+    tolerance, so real merges AND real breaks occur)."""
+    from pdf_plumber_util_spark.operators import (
+        assign_line_ids_window,
+        combine_words_x,
+    )
+    from pdf_plumber_util_spark.sources.tables import words_from_lineitem
+
+    words = words_from_lineitem(spark, sf_dir, tight_x=True)
+    wl = assign_line_ids_window(words)
+    got = (
+        combine_words_x(wl)
+        .orderBy("url", "page", "line_id", "x0")
+        .select("url", "page", "line_id", "word_idx", "text", "x0", "x1",
+                "top", "bottom", "fontname", "size")
+        .toPandas()
+    )
+    # at least some merges must have happened (fewer merged words than words)
+    n_words = wl.count()
+    assert len(got) < n_words
+
+    raw = wl.orderBy("url", "page", "line_id", "x0", "word_idx").toPandas()
+    want_rows = []
+    for (url, page, line_id), grp in raw.groupby(["url", "page", "line_id"], sort=True):
+        members = grp.to_dict("records")
+        for m in pyref.combine_words_x(members):
+            want_rows.append(
+                (url, page, line_id, m["word_idx"], m["text"], m["x0"], m["x1"],
+                 m["top"], m["bottom"], m["fontname"], m["size"])
+            )
+    want = pd.DataFrame(
+        want_rows, columns=["url", "page", "line_id", "word_idx", "text",
+                            "x0", "x1", "top", "bottom", "fontname", "size"]
+    ).sort_values(["url", "page", "line_id", "x0"], kind="stable").reset_index(drop=True)
+
+    assert len(got) == len(want)
+    for col in want.columns:
+        assert list(got[col]) == list(want[col]), col

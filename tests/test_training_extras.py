@@ -56,3 +56,43 @@ def test_attribute_profile_counts(spark, sf_dir):
     prof = {r.attribute: r.n_present for r in stats.attribute_profile(words).collect()}
     assert set(prof) == set(words.columns)
     assert all(v == n for v in prof.values())  # synthetic words are dense
+
+
+def test_ngram_jaccard_max_df_cap(spark, sf_dir):
+    """max_df=None and a cap above the true max df agree exactly; max_df=1
+    kills every pair (a shared shingle has df >= 2 by definition)."""
+    from pyspark.sql import functions as F
+
+    from pdf_plumber_util_spark.operators import dedup
+    from pdf_plumber_util_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = dedup.ngram_jaccard(docs, max_doc_id=40)
+    capped_loose = dedup.ngram_jaccard(docs, max_doc_id=40, max_df=10**6)
+    assert base.count() == capped_loose.count()
+    assert base.exceptAll(capped_loose).count() == 0
+    assert dedup.ngram_jaccard(docs, max_doc_id=40, max_df=1).count() == 0
+
+
+def test_minhash_wide_matches_exploded_reference(spark, sf_dir):
+    """The wide-aggregate minhash (1 shuffle) equals the seed-exploded
+    formulation (8x shuffle) it replaced."""
+    from pyspark.sql import functions as F
+
+    from pdf_plumber_util_spark.operators import dedup
+    from pdf_plumber_util_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    got = dedup.minhash_signatures(docs)
+    sh = dedup.doc_shingles(docs, 3)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("seed"),
+        "shingle",
+    )
+    h = F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle")))
+    want = seeded.select("doc_id", "seed", h.alias("h")).groupBy(
+        "doc_id", "seed"
+    ).agg(F.min("h").alias("min_hash"))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
