@@ -285,19 +285,34 @@ _BOUNDS_SQL = """
 # --------------------------------------------------------------------------
 
 
-def _lines_df(spark: SparkSession, sf_dir: str, persist: bool = False) -> tuple[DataFrame, DataFrame]:
+# One materialized lines/segments pair per (session, sf_dir) — the
+# reference's _lines.json checkpoint between extract and analyze. Round 1
+# persisted a FRESH identical DF inside each analysis query, which leaked
+# cached copies across the contract run (CacheManager "already cached"
+# warnings; pinned executor storage at scale). The shared fixture is
+# cached once and unpersisted via clear_shared_lines().
+_SHARED_LINES: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _lines_df(spark: SparkSession, sf_dir: str, persist: bool = True) -> tuple[DataFrame, DataFrame]:
+    key = (id(spark), sf_dir)
+    hit = _SHARED_LINES.get(key)
+    if hit is not None:
+        return hit
     from .operators import assign_line_ids_window
 
     words = words_from_lineitem(spark, sf_dir)
     wl = assign_line_ids_window(words)
     segs = build_segments(wl)
-    lines = drop_blank_lines(assemble_lines(wl, segs, page_dims(words)))
-    if persist:
-        # the analysis stage consumes lines 3-4 times (rules, blocks,
-        # candidates, doc extremes) — materialize once, exactly like the
-        # reference's _lines.json checkpoint between extract and analyze
-        lines = lines.persist()
+    lines = drop_blank_lines(assemble_lines(wl, segs, page_dims(words))).persist()
+    _SHARED_LINES[key] = (lines, segs)
     return lines, segs
+
+
+def clear_shared_lines() -> None:
+    for lines, _ in _SHARED_LINES.values():
+        lines.unpersist()
+    _SHARED_LINES.clear()
 
 
 def q_word_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,7 +385,7 @@ def q_spacing_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: contextual gap classification per line."""
-    lines, _ = _lines_df(spark, sf_dir, persist=True)
+    lines, _ = _lines_df(spark, sf_dir)
     rules = contextual_spacing_rules(lines)
     return classify_gaps(lines, rules).select(
         "url", "page", "line_number", "gap_type"
@@ -379,7 +394,7 @@ def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6/W3: block sessionization with recomputed inter-block gaps."""
-    lines, _ = _lines_df(spark, sf_dir, persist=True)
+    lines, _ = _lines_df(spark, sf_dir)
     rules = contextual_spacing_rules(lines)
     blocks = form_blocks(lines, rules)
     return blocks.select(
@@ -409,7 +424,7 @@ def q_hf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11/H5: final per-document content boundaries."""
-    lines, _ = _lines_df(spark, sf_dir, persist=True)
+    lines, _ = _lines_df(spark, sf_dir)
     cands = header_footer_candidates(lines)
     doc_bottom = lines.groupBy("url").agg(
         F.max(F.col("bbox")["bottom"]).alias("doc_bottom")
@@ -419,7 +434,7 @@ def q_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_body_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: end-to-end main-content text per url."""
-    lines, _ = _lines_df(spark, sf_dir, persist=True)
+    lines, _ = _lines_df(spark, sf_dir)
     rules = contextual_spacing_rules(lines)
     blocks = form_blocks(lines, rules)
     cands = header_footer_candidates(lines)

@@ -178,6 +178,29 @@ def _doc_pages(spark, sf_dir):
     )
 
 
+def q_scan_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 (document_scanner.py:402-426): per pattern, total matches and
+    distinct (url, page) coverage over the lines scan."""
+    from .operators.patterns import scan_statistics
+
+    lines = _contract_lines(spark, sf_dir)
+    m = scan_patterns(lines, registry=_TEST_PATTERNS).withColumn(
+        "pg", F.concat_ws("#", "url", F.col("page").cast("string"))
+    )
+    return scan_statistics(m, page_col="pg")
+
+
+def q_sampled_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 (sampling.py:244-286): semi-join the TOC sample against page
+    data and project the streamlined view (P4 analog on documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sel = sample_toc(_doc_pages(spark, sf_dir))
+    data = docs.select(F.col("doc_id").cast("int").alias("page"), "text")
+    return sel.join(data, "page").select(
+        "url", "page", "part", F.length("text").cast("long").alias("n_chars")
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_sections_stratified(_doc_pages(spark, sf_dir)).select(
         "url", "page", F.col("tercile").cast("long").alias("tercile")
@@ -300,6 +323,8 @@ EXTRA_QUERIES = {
     "a14_spacing_hist": q_spacing_hist,
     "v2_spacing_occurrences": q_spacing_occurrences,
     "r2_pattern_scan": q_pattern_scan,
+    "a16_scan_statistics": q_scan_statistics,
+    "m4_sampled_extraction": q_sampled_extraction,
     "m2_sample_stratified": q_sample_stratified,
     "m3_sample_toc": q_sample_toc,
     "m1_sample_hf_groups": q_sample_hf_groups,
@@ -748,6 +773,61 @@ def q_match_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic heading corpus (the reference's 5 document-type examples,
+# tests/unit/test_pattern_comprehensive.py:13-110) used to value-verify
+# the FULL 32-pattern registry through the driver's DuckDB gate.
+_R1_CORPUS = [
+    "1 Introduction", "2 Related Work", "2.1 Background", "3.2 Analysis Framework",
+    "9.3.4.6Byte stuffing process", "A.1Requirements on video decoder",
+    "A.2.1Baseline profile", "Annex A", "Figure 9-11 – Flowchart",
+    "Table 7-2: Motion vectors",
+    "I. Definitions", "II. Terms and Conditions", "III. Liability",
+    "A. General Provisions", "1. Scope of Agreement", "a. Due dates",
+    "(i) First violation", "(ii) Subsequent violations",
+    "Chapter 1: Getting Started", "Section 2.1 Installation",
+    "Appendix A: Troubleshooting", "Part I: Executive Summary",
+    "1.1 Background", "i introduction", "ii analysis",
+    "A.1 Overview", "2.3B Analysis", "A1 Introduction", "B2Overview",
+    "II Analysis", "A Introduction", "(a) introduction",
+    "Table of Contents", "List of Figures", "List of Tables",
+    "1.2 Overview ....... 17", "3.1 Methods 42",
+    "see Figure 4-2 for details", "as shown in Table 9",
+    "17", "Page 3 of 10",
+]
+
+
+def q_full_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: the full 32-pattern registry over the reference heading corpus
+    (one row per (line, pattern, match); every pattern family exercised)."""
+    from .operators.patterns import PATTERN_REGISTRY
+
+    rows = [(i + 1, t) for i, t in enumerate(_R1_CORPUS)]
+    df = (
+        spark.createDataFrame(rows, "line_number int, text string")
+        .withColumn("url", F.lit("corpus"))
+        .withColumn("page", F.lit(1))
+    )
+    m = scan_patterns(df, registry=PATTERN_REGISTRY)
+    return m.select("line_text", "pattern_name", "pattern_type", "match")
+
+
+def _r1_oracle_sql() -> str:
+    from .operators.patterns import PATTERN_REGISTRY
+
+    corpus = ", ".join(f"('{t}')" for t in _R1_CORPUS)
+    pats = ", ".join(
+        f"('{n}', '{d.pattern_type}', '{d.regex}')"
+        for n, d in PATTERN_REGISTRY.items()
+    )
+    return f"""
+WITH corpus(text) AS (VALUES {corpus}),
+pats(pattern_name, pattern_type, rx) AS (VALUES {pats})
+SELECT c.text AS line_text, p.pattern_name, p.pattern_type,
+  unnest(regexp_extract_all(c.text, p.rx)) AS match
+FROM corpus c CROSS JOIN pats p
+"""
+
+
 def q_combined_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 (extractor.py:417-460): x-tolerance word merging over the
     tight-pitch words geometry (the only one where merges can occur)."""
@@ -769,6 +849,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES.update({
+    "r1_full_registry": q_full_registry,
     "c2_combined_words": q_combined_words,
     "d6_embedding_neardup": q_embedding_neardup,
     "c8_char_runs": q_char_runs,
@@ -778,6 +859,32 @@ EXTRA_QUERIES.update({
 })
 
 EXTRA_ORACLES.update({
+    "a16_scan_statistics": _LINES_SQL + r"""
+, pats AS (
+  SELECT * FROM (VALUES
+    ('flag_token', 'token', '\b[ANR]\d+\b'),
+    ('a_token', 'token', '\bA\d+\b'),
+    ('token_pair', 'token', '[A-Z]\d+ [A-Z]\d+')
+  ) AS t(pattern_name, pattern_type, rx)
+), m AS (
+  SELECT p.pattern_name, p.pattern_type,
+    l.url || '#' || CAST(l.page AS VARCHAR) AS pg,
+    unnest(regexp_extract_all(l.text, p.rx)) AS match
+  FROM lines l CROSS JOIN pats p
+  WHERE trim(l.text) <> ''
+)
+SELECT pattern_name, pattern_type,
+  CAST(COUNT(*) AS BIGINT) AS total_matches,
+  CAST(COUNT(DISTINCT pg) AS BIGINT) AS pages_with_matches
+FROM m GROUP BY pattern_name, pattern_type
+""",
+    "m4_sampled_extraction": f"""
+WITH sel AS ({EXTRA_ORACLES['m3_sample_toc']})
+SELECT s.url, s.page, s.part,
+  CAST(length(d.text) AS BIGINT) AS n_chars
+FROM sel s JOIN documents d ON d.doc_id = s.page
+""",
+    "r1_full_registry": _r1_oracle_sql(),
     "c2_combined_words": WORDS_TIGHT_SQL + _LINED_FRAGMENT + """
 , cgrp AS (
   SELECT *, SUM(CASE WHEN lag_x1 IS NOT NULL AND ABS(x0 - lag_x1) <= 3.0

@@ -163,36 +163,118 @@ def test_helper_functions(spark):
     assert got == ["word1 word2 word3", ""]
 
 
+# The reference's 5 document-type corpora
+# (tests/unit/test_pattern_comprehensive.py:13-110), each string mapped to
+# a pattern that must match it in the full R1 registry.
 PATTERN_CORPUS = {
-    "decimal_simple": ["2.1 Background", "3.4 Results"],
+    # Academic Paper
+    "decimal_simple": ["1 Introduction", "2.1 Background", "3.2 Analysis Framework"],
+    # Technical Standard (H.264-style)
     "decimal_no_space_numeric": ["9.3.4.6Byte stuffing process"],
-    "letter_section": ["A.2.1Baseline profile", "B.1 Overview"],
-    "figure_caption": ["Figure 9-11 - Flowchart", "Figure 3"],
+    "decimal_no_space_letter_prefix": ["A.1Requirements on video decoder",
+                                       "A.2.1Baseline profile"],
+    "annex_heading": ["Annex A"],
+    "figure_caption": ["Figure 9-11 – Flowchart"],
     "table_caption": ["Table 7-2: Motion vectors"],
-    "roman_parentheses": ["(ii) Subsequent violations"],
-    "annex": ["Annex A"],
-    "chapter": ["Chapter 1: Getting Started"],
+    # Legal Document
+    "roman_dot": ["I. Definitions", "III. Liability"],
+    "letter_single_dot": ["A. General Provisions", "B. Specific Terms"],
+    "number_dot": ["1. Scope of Agreement", "2. Payment Terms"],
+    # "i. Primary goals" (Research Report) lands on letter_dot — the
+    # registry has no lowercase-roman-dot pattern (neither does the
+    # reference; "ii. Secondary objectives" matches nothing there either)
+    "letter_dot": ["a. Due dates", "b. Late fees", "i. Primary goals"],
+    "roman_parentheses": ["(i) First violation", "(ii) Subsequent violations"],
+    # Manual/Guide
+    "chapter_pattern": ["Chapter 1: Getting Started", "Chapter 2: Basic Operations"],
+    "section_explicit": ["Section 2.1 Installation"],
+    "appendix_heading": ["Appendix A: Troubleshooting", "Appendix B: Reference"],
+    # Research Report
+    "part_pattern": ["Part I: Executive Summary", "Part II: Detailed Findings"],
+    "roman_lowercase": ["i introduction", "ii analysis"],
+    # remaining registry coverage
+    "decimal_with_letter_prefix": ["A.1 Overview", "B.2.3 Details"],
+    # (the reference's "1.1.A Introduction" docstring example does not
+    # match its own regex — the suffix letter must follow a digit)
+    "decimal_letter_suffix": ["2.3B Analysis", "1.2C Overview"],
+    "letter_decimal_mixed": ["A1 Introduction", "B2.3 Analysis"],
+    "decimal_no_space_letter": ["A1Requirements", "B2Overview"],
+    "roman_uppercase": ["II Analysis", "IV Results"],
+    "letter_simple": ["A Introduction", "B Analysis"],
+    "letter_parentheses": ["(a) introduction", "(b) analysis"],
+    "toc_title_contents": ["Table of Contents"],
+    "toc_title_list_figures": ["List of Figures"],
+    "toc_title_list_tables": ["List of Tables"],
+    "toc_entry_dotted": ["1.2 Overview ....... 17"],
+    "toc_entry_simple": ["3.1 Methods 42"],
+    "figure_reference": ["see Figure 4-2 for details"],
+    "table_reference": ["as shown in Table 9"],
+    "page_number_simple": ["17"],
     "page_number_formatted": ["Page 3 of 10"],
 }
 
 
 def test_pattern_corpus(spark):
-    """tests/unit/test_pattern_comprehensive.py analog over the R1 registry."""
-    from pdf_plumber_util_spark.operators.patterns import scan_patterns
+    """tests/unit/test_pattern_comprehensive.py analog: every registry
+    pattern matches its intended corpus strings, and the corpus covers
+    the whole 32-pattern registry."""
+    from pdf_plumber_util_spark.operators.patterns import (
+        PATTERN_REGISTRY,
+        scan_patterns,
+    )
 
+    assert set(PATTERN_CORPUS) == set(PATTERN_REGISTRY)
     rows = [
         Row(url="u", page=1, line_number=i, text=t)
         for i, t in enumerate(
-            [t for ts in PATTERN_CORPUS.values() for t in ts], start=1
+            sorted({t for ts in PATTERN_CORPUS.values() for t in ts}), start=1
         )
     ]
     df = spark.createDataFrame(rows)
-    matches = scan_patterns(df)
     hit = {
-        (r["line_text"], r["pattern_name"]) for r in matches.collect()
+        (r["line_text"], r["pattern_name"]) for r in scan_patterns(df).collect()
     }
-    hit_names = {name for _, name in hit}
     for name, texts in PATTERN_CORPUS.items():
-        assert name in hit_names, f"pattern {name} never matched"
         for t in texts:
-            assert any(lt == t and pn == name for lt, pn in hit), (name, t)
+            assert (t, name) in hit, (name, t)
+
+
+def test_pattern_sets_and_management(spark):
+    """R1/R3 management surface: named sets resolve, add/remove validate,
+    non-portable regexes are rejected, YAML round-trips."""
+    from pdf_plumber_util_spark.operators.patterns import (
+        PATTERN_REGISTRY,
+        PATTERN_SETS,
+        add_patterns,
+        get_pattern_set,
+        load_patterns_file,
+        remove_pattern,
+        validate_pattern,
+    )
+
+    assert len(PATTERN_REGISTRY) == 32
+    assert sum(len(v) for v in PATTERN_SETS.values()) == 32
+    sect = get_pattern_set("section_patterns")
+    assert len(sect) == 21 and all(d.pattern_type == "section" for d in sect.values())
+
+    reg2 = add_patterns(PATTERN_REGISTRY, {"custom_x": ("custom", r"^X\d+")})
+    assert "custom_x" in reg2 and "custom_x" not in PATTERN_REGISTRY
+    reg3 = remove_pattern(reg2, "custom_x")
+    assert "custom_x" not in reg3
+    with pytest.raises(ValueError):
+        add_patterns(PATTERN_REGISTRY, {"decimal_simple": r"x"})
+    with pytest.raises(ValueError):
+        add_patterns(PATTERN_REGISTRY, {"bad": r"(?=lookahead)"})
+    assert validate_pattern(r"(unclosed") is not None
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "pats.yaml")
+        with open(p, "w") as fh:
+            fh.write(
+                "patterns:\n  exhibit:\n    regex: '^(Exhibit\\s+[A-Z])'\n"
+                "    type: section\npattern_sets:\n  exhibits: [exhibit]\n"
+            )
+        reg, sets = load_patterns_file(p)
+        assert reg["exhibit"].pattern_type == "section"
+        assert get_pattern_set("exhibits", reg, sets)

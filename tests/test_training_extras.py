@@ -96,3 +96,60 @@ def test_minhash_wide_matches_exploded_reference(spark, sf_dir):
     ).agg(F.min("h").alias("min_hash"))
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_m1_hf_group_sampling_exact(spark):
+    """M1 value verification (round-1 verdict item 9): the greedy
+    overlap-free grouping is fully determined by the md5 hash ranks, so a
+    pure-Python twin must reproduce the exact selected (page, kind) set."""
+    import hashlib
+
+    from pdf_plumber_util_spark.operators.sampling import (
+        sample_header_footer_groups,
+    )
+
+    # 3 docs: below threshold (take-all), exactly threshold, well above
+    rows = [("u_small", p) for p in range(1, 11)]
+    rows += [("u_edge", p) for p in range(1, 17)]
+    rows += [("u_big", p) for p in range(1, 61)]
+    pages = spark.createDataFrame(rows, "url string, page int")
+    got = {
+        (r["url"], r["page"], r["kind"])
+        for r in sample_header_footer_groups(pages).collect()
+    }
+
+    def twin(url, page_list, group_size=4, n_groups=3, n_individuals=4, salt="m1"):
+        out = []
+        total = len(page_list)
+        if total <= group_size * n_groups + n_individuals:
+            return [(url, p, "all") for p in page_list]
+
+        def hrank(p, tag):
+            return hashlib.md5(f"{url}:{p}:{salt}:{tag}".encode()).hexdigest()
+
+        starts = sorted(range(total - group_size + 1),
+                        key=lambda i: hrank(page_list[i], "g"))
+        used, chosen = set(), 0
+        for s in starts:
+            span = set(range(s, s + group_size))
+            if span & used:
+                continue
+            used |= span
+            chosen += 1
+            out += [(url, page_list[i], "group") for i in sorted(span)]
+            if chosen == n_groups:
+                break
+        rem = [i for i in range(total) if i not in used]
+        out += [(url, page_list[i], "individual")
+                for i in sorted(rem, key=lambda i: hrank(page_list[i], "s"))[:n_individuals]]
+        return out
+
+    want = set()
+    for url, n in [("u_small", 10), ("u_edge", 16), ("u_big", 60)]:
+        want |= set(twin(url, list(range(1, n + 1))))
+    assert got == want
+    # structural invariants: u_big got 3 disjoint groups + 4 individuals
+    big = [(p, k) for (u, p, k) in got if u == "u_big"]
+    assert sum(1 for _, k in big if k == "group") == 12
+    assert sum(1 for _, k in big if k == "individual") == 4
+    assert {p for (u, p, k) in got if u == "u_small"} == set(range(1, 11))
