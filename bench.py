@@ -4,8 +4,9 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 The headline metric is documents/sec of the flagship end-to-end extraction
 (words -> lines -> blocks -> boundaries -> body text), reported as total
-wall seconds in "value" plus per-query seconds. Set SPARK_GRAFT_BENCH_DOCS
-to also run the html-tokenizer pipeline on N synthetic pages.
+wall seconds in "value" plus per-query seconds. The html-tokenizer
+pipeline additionally runs on SPARK_GRAFT_BENCH_DOCS synthetic pages
+(default 8000; set 0 to skip it).
 """
 
 from __future__ import annotations
@@ -52,13 +53,15 @@ def main() -> None:
     from pdf_plumber_util_spark.sources.pages import synth_pages
 
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
-    pages = synth_pages(spark, n_pages, partitions=CPUS * 4).persist()
-    pages.count()
-    extract_documents(pages.limit(256)).count()
-    t0 = time.time()
-    n_extracted = extract_documents(pages).count()
-    extract_sec = time.time() - t0
-    pages.unpersist()
+    n_extracted, extract_sec = 0, 0.0
+    if n_pages > 0:
+        pages = synth_pages(spark, n_pages, partitions=CPUS * 4).persist()
+        pages.count()
+        extract_documents(pages.limit(256)).count()
+        t0 = time.time()
+        n_extracted = extract_documents(pages).count()
+        extract_sec = time.time() - t0
+        pages.unpersist()
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -85,7 +88,9 @@ def main() -> None:
         "flagship_docs_per_sec": round(n_docs / flag_sec, 2) if flag_sec else None,
         "html_extract_docs": n_extracted,
         "html_extract_sec": round(extract_sec, 3),
-        "html_extract_docs_per_sec": round(n_extracted / extract_sec, 2),
+        "html_extract_docs_per_sec": (
+            round(n_extracted / extract_sec, 2) if extract_sec else None
+        ),
     }
     print(json.dumps(result))
 

@@ -43,14 +43,16 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = SparkSession.builder.appName("plumbspark-extract").getOrCreate()
 
-    from pdf_plumber_util_spark.plans.resume import run_resumable
+    from pdf_plumber_util_spark.plans.resume import (
+        SIDECAR,
+        delete_dir,
+        run_resumable,
+    )
 
     pages = spark.read.parquet(args.input)
     if args.no_resume:
-        import shutil, os
-        sidecar = os.path.join(args.output, "_sidecar")
-        if os.path.isdir(sidecar):
-            shutil.rmtree(sidecar)
+        # Hadoop FS delete, so --output may be hdfs:// or s3a:// too
+        delete_dir(spark, f"{args.output}/{SIDECAR}")
     metas = run_resumable(pages, spark, args.output, n_buckets=args.buckets)
     print(json.dumps({"buckets_processed": len(metas),
                       "docs": sum(m["n_docs"] for m in metas),

@@ -45,26 +45,36 @@ from ..sources.tokenizer import page_dims, tokenize_pages
 
 
 def partition_pages(pages: DataFrame, num_partitions: int | None = None,
-                    salt_hot_hosts: bool = True) -> DataFrame:
-    """Hash-partition by url with optional salting of skewed hosts.
+                    salt_hot_hosts: bool = True, salt: str = "s1") -> DataFrame:
+    """Balance the tokenizer stage: repartition pages by a salted url hash.
 
-    Salting note: the unit of sequential work is one document (url), so a
-    single url can't be split; salting spreads *hosts* whose many urls
-    would otherwise hash-cluster when a downstream partitioner used
-    host-level keys. We partition on xxhash64(url) directly — uniform over
-    urls — plus a salt term so even adversarial url sets spread.
+    What this buys (and doesn't): mapInPandas erases output partitioning
+    in Spark 4, so this exchange can NOT feed the downstream windows —
+    the C1 window always inserts its own (url, page) exchange. Its sole
+    job is input balance for the most expensive stage (the pandas/Arrow
+    tokenizer): a source whose files cluster a hot host's urls (the
+    north-rule skew case — crawl dumps are host-ordered) would otherwise
+    hand whole hosts to single tasks. Salting the hash term means even
+    adversarial url sets that collide on xxhash64(url) spread; the unit of
+    sequential work stays one document, which a salt cannot split.
+
+    Because it shuffles the html payload, it is OPT-IN (pass
+    num_partitions in extract_lines/extract_documents); well-bucketed
+    Iceberg inputs should skip it.
     """
-    key = F.xxhash64("url")
-    if salt_hot_hosts:
-        key = key + F.xxhash64("url", F.lit("salt"))
+    key = F.xxhash64("url", F.lit(salt)) if salt_hot_hosts else F.xxhash64("url")
     if num_partitions:
-        return pages.repartition(num_partitions, F.col("url"))
-    return pages.repartition(F.col("url"))
+        return pages.repartition(num_partitions, key)
+    return pages.repartition(key)
 
 
 def extract_lines(pages: DataFrame, cfg: EngineConfig = DEFAULT,
                   num_partitions: int | None = None) -> DataFrame:
-    """pages -> blank-filtered line records (the `_lines.json` analog)."""
+    """pages -> blank-filtered line records (the `_lines.json` analog).
+
+    num_partitions: opt-in salted input rebalance (see partition_pages)."""
+    if num_partitions:
+        pages = partition_pages(pages, num_partitions)
     words = tokenize_pages(pages)
     wl = assign_line_ids_window(words, cfg.y_tolerance)
     segs = build_segments(wl)
@@ -109,7 +119,11 @@ def doc_stats(lines: DataFrame, segments: DataFrame) -> DataFrame:
 def extract_documents(pages: DataFrame, cfg: EngineConfig = DEFAULT,
                       num_partitions: int | None = None) -> DataFrame:
     """Flagship: pages -> (url, body_text, metrics). The full `process`
-    path: extract -> rules -> blocks -> boundaries -> main content."""
+    path: extract -> rules -> blocks -> boundaries -> main content.
+
+    num_partitions: opt-in salted input rebalance (see partition_pages)."""
+    if num_partitions:
+        pages = partition_pages(pages, num_partitions)
     words = tokenize_pages(pages)
     wl = assign_line_ids_window(words, cfg.y_tolerance)
     segs = build_segments(wl)

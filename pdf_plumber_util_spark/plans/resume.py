@@ -8,26 +8,101 @@ partitions.
 Implementation (Iceberg-API-compatible, parquet-backed in the sandbox):
   * The corpus is bucketed into ``n_buckets`` by ``pmod(xxhash64(url), n)``
     — the unit of commit and resume (Iceberg: ``bucket(n, url)`` partition
-    transform; here: parquet ``partitionBy(bucket)`` with one overwrite per
-    bucket, which is idempotent the same way Iceberg's
-    ``overwritePartitions`` is).
-  * After each bucket lands, one sidecar row (bucket, n_docs, chars,
-    blocks kept/dropped, wall time) is appended — write-audit-publish:
-    data first, then the commit marker; a crash between the two re-runs
-    the bucket idempotently.
+    transform).
+  * ONE Spark job lands every remaining bucket via a dynamic-partition-
+    overwrite ``partitionBy(url_bucket)`` write (idempotent the same way
+    Iceberg's ``overwritePartitions`` is: only the rewritten buckets are
+    replaced). Round 1 issued one filtered write job per bucket — 256
+    sequential job submissions over a cached DF at --buckets 256.
+  * Commit markers are published write-audit-publish: after the data
+    lands, the AUDIT pass re-reads the landed files, aggregates the
+    sidecar metrics per bucket, and only then publishes one marker per
+    bucket (atomic rename). A crash between land and publish re-runs the
+    unpublished buckets idempotently.
   * ``resume_filter`` anti-joins the input against committed buckets (J5).
+
+All sidecar/marker IO goes through the Hadoop FileSystem API, so
+--output may be file:, hdfs:, or s3a: (round-1 ADVICE: the os.listdir
+implementation silently broke resume on non-POSIX paths).
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BUCKET_COL = "url_bucket"
+SIDECAR = "_sidecar"
+
+
+# ------------------------------------------------- Hadoop FileSystem IO --
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _list_json(spark: SparkSession, dir_path: str) -> list[str]:
+    fs, hpath, _ = _fs(spark, dir_path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.endswith(".json") and not name.startswith("_tmp_"):
+            out.append(f"{dir_path}/{name}")
+    return sorted(out)
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    fs, hpath, _ = _fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        chunks = []
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            chunks.append(b)
+        return bytes(chunks).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def _write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Write via a _tmp_ sibling + rename (the FS-level publish step)."""
+    fs, hpath, jvm = _fs(spark, path)
+    try:
+        # keep the sidecar dir clean of .crc siblings on checksum FSes
+        fs.setWriteChecksum(False)
+    except Exception:
+        pass
+    parent = hpath.getParent()
+    fs.mkdirs(parent)
+    tmp = jvm.org.apache.hadoop.fs.Path(parent, "_tmp_" + hpath.getName())
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+    fs.delete(hpath, False)
+    fs.rename(tmp, hpath)
+
+
+def delete_dir(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FS (for --no-resume)."""
+    fs, hpath, _ = _fs(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+# ------------------------------------------------------- resume contract --
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -35,14 +110,10 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def committed_partitions(spark: SparkSession, sidecar_dir: str) -> list[int]:
-    if not os.path.isdir(sidecar_dir):
-        return []
-    out = []
-    for f in sorted(os.listdir(sidecar_dir)):
-        if f.endswith(".json"):
-            with open(os.path.join(sidecar_dir, f)) as fh:
-                out.append(json.load(fh)[BUCKET_COL])
-    return out
+    return [
+        json.loads(_read_text(spark, p))[BUCKET_COL]
+        for p in _list_json(spark, sidecar_dir)
+    ]
 
 
 def resume_filter(pages: DataFrame, spark: SparkSession, sidecar_dir: str,
@@ -57,52 +128,62 @@ def resume_filter(pages: DataFrame, spark: SparkSession, sidecar_dir: str,
     return df.join(F.broadcast(done_df), BUCKET_COL, "left_anti")
 
 
-def write_partitioned(result: DataFrame, out_dir: str, sidecar_dir: str,
-                      bucket: int) -> dict:
-    """Write one bucket idempotently, then publish its sidecar row."""
-    t0 = time.time()
-    part = result.filter(F.col(BUCKET_COL) == bucket)
-    path = os.path.join(out_dir, f"{BUCKET_COL}={bucket}")
-    part.write.mode("overwrite").parquet(path)
-    stats_row = part.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("chars_extracted").alias("chars"),
-        F.sum("n_blocks_kept").alias("blocks_kept"),
-        F.sum("n_blocks_dropped").alias("blocks_dropped"),
-    ).collect()[0]
-    meta = {
-        BUCKET_COL: bucket,
-        "n_docs": stats_row["n_docs"],
-        "chars_extracted": int(stats_row["chars"] or 0),
-        "blocks_kept": int(stats_row["blocks_kept"] or 0),
-        "blocks_dropped": int(stats_row["blocks_dropped"] or 0),
-        "parse_failures": 0,
-        "wall_sec": round(time.time() - t0, 3),
-    }
-    os.makedirs(sidecar_dir, exist_ok=True)
-    tmp = os.path.join(sidecar_dir, f"_tmp_{bucket}.json")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(sidecar_dir, f"bucket_{bucket}.json"))
-    return meta
+def publish_bucket(spark: SparkSession, sidecar_dir: str, meta: dict) -> None:
+    _write_text_atomic(
+        spark, f"{sidecar_dir}/bucket_{meta[BUCKET_COL]}.json", json.dumps(meta)
+    )
 
 
 def run_resumable(pages: DataFrame, spark: SparkSession, out_dir: str,
                   n_buckets: int = 8, cfg=None) -> list[dict]:
-    """Resumable end-to-end run: skip committed buckets, process the rest
-    bucket-by-bucket (the commit granularity; within a bucket Spark
-    parallelism is unchanged)."""
+    """Resumable end-to-end run: skip committed buckets, land every
+    remaining bucket in ONE dynamic-partition-overwrite job, audit the
+    landed files, publish one sidecar marker per bucket."""
     from .extract import extract_documents
 
-    sidecar_dir = os.path.join(out_dir, "_sidecar")
+    sidecar_dir = f"{out_dir}/{SIDECAR}"
+    done = set(committed_partitions(spark, sidecar_dir))
     todo = resume_filter(pages, spark, sidecar_dir, n_buckets)
     docs = with_bucket(extract_documents(todo.drop(BUCKET_COL)), n_buckets)
-    docs = docs.cache()
-    remaining = sorted(
-        r[BUCKET_COL] for r in docs.select(BUCKET_COL).distinct().collect()
+
+    t0 = time.time()
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        docs.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    wall = round(time.time() - t0, 3)
+
+    # audit: read back what actually landed, then publish
+    try:
+        landed = spark.read.parquet(out_dir)
+    except Exception:  # nothing ever landed (empty corpus, all committed)
+        return []
+    fresh = landed
+    if done:
+        fresh = landed.filter(~F.col(BUCKET_COL).isin([int(b) for b in done]))
+    stats = (
+        fresh.groupBy(BUCKET_COL)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("chars_extracted").alias("chars"),
+            F.sum("n_blocks_kept").alias("blocks_kept"),
+            F.sum("n_blocks_dropped").alias("blocks_dropped"),
+        )
+        .collect()
     )
     metas = []
-    for b in remaining:
-        metas.append(write_partitioned(docs, out_dir, sidecar_dir, b))
-    docs.unpersist()
+    for r in sorted(stats, key=lambda r: r[BUCKET_COL]):
+        meta = {
+            BUCKET_COL: int(r[BUCKET_COL]),
+            "n_docs": r["n_docs"],
+            "chars_extracted": int(r["chars"] or 0),
+            "blocks_kept": int(r["blocks_kept"] or 0),
+            "blocks_dropped": int(r["blocks_dropped"] or 0),
+            "parse_failures": 0,
+            "wall_sec": wall,  # single landing job; shared across buckets
+        }
+        publish_bucket(spark, sidecar_dir, meta)
+        metas.append(meta)
     return metas

@@ -1,16 +1,17 @@
 """Tokenizer: pages(html) -> words DataFrame (the S1 analog).
 
 The single mandatory pandas/Arrow UDF of the engine (input_hint: vectorized
-UDFs only). A scalar pandas_udf maps ``html:binary`` to an
-``array<struct<word>>``; ``posexplode`` flattens it. Because the UDF is a
-projection, the ``url`` attribute survives, so a ``repartition(url)``
-placed BEFORE tokenization is still recognized by Catalyst afterwards —
-every downstream window/groupBy keyed by a ``url`` prefix runs without
-further exchanges (verified in tests/test_plan_shape.py).
+UDFs only). The default path is a flat ``mapInPandas`` (one Arrow batch of
+plain columns per input batch); the ``array<struct>`` pandas_udf +
+posexplode variant is kept for fixture paths.
 
-Skew note (north_rule): giant documents are the UDF-stage skew unit. The
-pipeline repartitions by ``xxhash64(url, salt)`` where salt spreads known
-hot hosts; see plans/extract.py.
+Partitioning note: ``mapInPandas`` ERASES output partitioning in Spark 4,
+so nothing placed before tokenization feeds the downstream windows — the
+C1 window inserts the pipeline's single word-sized exchange either way
+(asserted in tests/test_plan_shape.py). A pre-tokenize repartition is
+therefore purely an input-balance tool for the UDF stage itself: see
+plans/extract.partition_pages for the opt-in salted rebalance of
+host-skewed sources.
 """
 
 from __future__ import annotations
