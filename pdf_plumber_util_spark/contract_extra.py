@@ -828,6 +828,48 @@ FROM corpus c CROSS JOIN pats p
 """
 
 
+# S5 fixture docs (deterministic renderer: geometry computable by hand,
+# see sources/render.py module docstring). The oracle is a GOLDEN VALUES
+# list: hand-derived from the documented box model (h1 top=96, line
+# height 1.2*size, p word gap 0.3*size, img 144x72, hr 1pt + 4pt gaps).
+_S5_DOCS = [
+    ("s5a", "<header>Site Nav</header><h1>Title Here</h1>"
+            "<p>Intro with <a>link text</a> inside.</p><img/><hr/>"
+            "<p>After rule.</p><footer>Footer One</footer>"),
+    ("s5b", "<h2>Other Heading</h2><hr/><p><a>a b</a> c</p>"),
+]
+
+
+def q_s5_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (get_vectors.py:36-111): non-text object scan — images,
+    hyperlink rects, <hr> lines, image edges — per page in y0 order."""
+    from .sources.tokenizer import extract_objects
+
+    pages = spark.createDataFrame(
+        [(u, h.encode()) for u, h in _S5_DOCS], "url string, html binary"
+    )
+    return extract_objects(pages).select(
+        "url", "page",
+        F.col("obj_idx").cast("long").alias("obj_idx"),
+        "obj_type", "x0", "x1", "top", "bottom", "meta",
+    )
+
+
+_S5_ORACLE = """
+SELECT * FROM (VALUES
+  ('s5a', 1, CAST(0 AS BIGINT), 'hyperlink', 123.0, 166.0, 123.6, 133.6, ''),
+  ('s5a', 1, CAST(1 AS BIGINT), 'edge',       72.0, 216.0, 135.6, 135.6, 'h'),
+  ('s5a', 1, CAST(2 AS BIGINT), 'edge',       72.0,  72.0, 135.6, 207.6, 'v'),
+  ('s5a', 1, CAST(3 AS BIGINT), 'image',      72.0, 216.0, 135.6, 207.6, ''),
+  ('s5a', 1, CAST(4 AS BIGINT), 'edge',      216.0, 216.0, 135.6, 207.6, 'v'),
+  ('s5a', 1, CAST(5 AS BIGINT), 'edge',       72.0, 216.0, 207.6, 207.6, 'h'),
+  ('s5a', 1, CAST(6 AS BIGINT), 'line',       72.0, 540.0, 211.6, 212.6, ''),
+  ('s5b', 1, CAST(0 AS BIGINT), 'line',       72.0, 540.0, 110.8, 111.8, ''),
+  ('s5b', 1, CAST(1 AS BIGINT), 'hyperlink',  72.0,  85.0, 121.8, 131.8, '')
+) AS t(url, page, obj_idx, obj_type, x0, x1, top, bottom, meta)
+"""
+
+
 def q_combined_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 (extractor.py:417-460): x-tolerance word merging over the
     tight-pitch words geometry (the only one where merges can occur)."""
@@ -850,6 +892,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES.update({
     "r1_full_registry": q_full_registry,
+    "s5_objects": q_s5_objects,
     "c2_combined_words": q_combined_words,
     "d6_embedding_neardup": q_embedding_neardup,
     "c8_char_runs": q_char_runs,
@@ -885,6 +928,7 @@ SELECT s.url, s.page, s.part,
 FROM sel s JOIN documents d ON d.doc_id = s.page
 """,
     "r1_full_registry": _r1_oracle_sql(),
+    "s5_objects": _S5_ORACLE,
     "c2_combined_words": WORDS_TIGHT_SQL + _LINED_FRAGMENT + """
 , cgrp AS (
   SELECT *, SUM(CASE WHEN lag_x1 IS NOT NULL AND ABS(x0 - lag_x1) <= 3.0

@@ -46,11 +46,19 @@ BLOCK_STYLE = {
 }
 FURNITURE = {"header", "footer"}
 INLINE = {"b", "i", "a"}
+OBJECT_TAGS = {"img", "hr"}
+IMG_W, IMG_H, HR_GAP = 144.0, 72.0, 4.0
 
 WORD_FIELDS = [
     "page", "word_idx", "text", "x0", "x1", "top", "bottom",
     "fontname", "size", "upright", "is_link", "tag",
 ]
+
+# S5 non-text object taxonomy (get_vectors.py:40-107): images, hyperlink
+# annotation rects, lines (<hr>), and edges (derived from image rects,
+# the way pdfplumber derives edges from rect borders). meta carries the
+# edge orientation ('h'/'v'); '' otherwise.
+OBJECT_FIELDS = ["page", "obj_idx", "obj_type", "x0", "x1", "top", "bottom", "meta"]
 
 
 class _Collector(HTMLParser):
@@ -64,7 +72,9 @@ class _Collector(HTMLParser):
         self._words: list[tuple[str, frozenset]] = []
 
     def handle_starttag(self, tag, attrs):
-        if tag in BLOCK_STYLE or tag in FURNITURE:
+        if tag in OBJECT_TAGS:
+            self.blocks.append((tag, []))
+        elif tag in BLOCK_STYLE or tag in FURNITURE:
             self._tag = tag
             self._words = []
             self._inline = []
@@ -99,8 +109,8 @@ def _font_for(family: str, marks: frozenset) -> tuple[str, bool]:
     return font, is_link
 
 
-def layout_html_rows(html: str) -> list[tuple]:
-    """Render html to flat word tuples in WORD_FIELDS order. Deterministic.
+def _layout(html: str) -> tuple[list[tuple], list[tuple]]:
+    """Shared renderer core: returns (word rows, object rows).
 
     Tuple-based hot path (the pandas/Arrow tokenizer builds columnar
     batches straight from these rows); `layout_html` wraps to dicts for
@@ -114,9 +124,11 @@ def layout_html_rows(html: str) -> list[tuple]:
     flow = [(t, ws) for t, ws in parser.blocks if t not in FURNITURE]
 
     pages: list[list[tuple]] = [[]]
+    objects: list[list[tuple]] = [[]]  # per page: (obj_type, x0, x1, top, bottom, meta)
     y = CONTENT_TOP
 
-    def emit_line(out: list[tuple], words: list[tuple[str, frozenset]], family: str,
+    def emit_line(out: list[tuple], obj_out: list[tuple],
+                  words: list[tuple[str, frozenset]], family: str,
                   size: float, top: float, tag: str) -> None:
         # pdfplumber with keep_blank_chars yields word chunks that carry
         # their separating blanks; we mimic by giving every non-final word
@@ -125,13 +137,21 @@ def layout_html_rows(html: str) -> list[tuple]:
         x = MARGIN_X
         half, gap, bottom = 0.5 * size, 0.3 * size, top + size
         last = len(words) - 1
+        run: list[tuple[float, float]] = []  # link-run x extents
         for i, (text, marks) in enumerate(words):
             font, is_link = _font_for(family, marks)
             w = len(text) * half
             chunk = text if i == last else text + " "
             # (text, x0, x1, top, bottom, fontname, size, upright, is_link, tag)
             out.append((chunk, x, x + w, top, bottom, font, size, True, is_link, tag))
+            if is_link:
+                run.append((x, x + w))
+            elif run:
+                obj_out.append(("hyperlink", run[0][0], run[-1][1], top, bottom, ""))
+                run = []
             x += w + gap
+        if run:
+            obj_out.append(("hyperlink", run[0][0], run[-1][1], top, bottom, ""))
 
     def wrap(words: list[tuple[str, frozenset]], size: float) -> list[list]:
         """Greedy wrap into lines that fit the content width."""
@@ -148,31 +168,71 @@ def layout_html_rows(html: str) -> list[tuple]:
             lines.append(cur)
         return lines
 
+    def new_page():
+        pages.append([])
+        objects.append([])
+
     for tag, words in flow:
+        if tag == "img":
+            if y + IMG_H > CONTENT_BOTTOM:
+                new_page()
+                y = CONTENT_TOP
+            objects[-1].append(("image", MARGIN_X, MARGIN_X + IMG_W, y, y + IMG_H, ""))
+            # edges derived from the image rect (pdfplumber-style)
+            objects[-1].append(("edge", MARGIN_X, MARGIN_X + IMG_W, y, y, "h"))
+            objects[-1].append(("edge", MARGIN_X, MARGIN_X + IMG_W, y + IMG_H, y + IMG_H, "h"))
+            objects[-1].append(("edge", MARGIN_X, MARGIN_X, y, y + IMG_H, "v"))
+            objects[-1].append(("edge", MARGIN_X + IMG_W, MARGIN_X + IMG_W, y, y + IMG_H, "v"))
+            y += IMG_H
+            continue
+        if tag == "hr":
+            y += HR_GAP
+            if y + 1.0 > CONTENT_BOTTOM:
+                new_page()
+                y = CONTENT_TOP
+            objects[-1].append(("line", MARGIN_X, PAGE_W - MARGIN_X, y, y + 1.0, ""))
+            y += 1.0 + HR_GAP
+            continue
         family, size, gap = BLOCK_STYLE[tag]
         lh = 1.2 * size
         y += gap
         for line_words in wrap(words, size):
             if y + lh > CONTENT_BOTTOM:
-                pages.append([])
+                new_page()
                 y = CONTENT_TOP
-            emit_line(pages[-1], line_words, family, size, y, tag)
+            emit_line(pages[-1], objects[-1], line_words, family, size, y, tag)
             y += lh
 
     # page furniture on every page (drives cross-page boundary voting)
     out: list[tuple] = []
+    out_objects: list[tuple] = []
     idx = 0
-    for pno, page_words in enumerate(pages, 1):
+    for pno, (page_words, page_objs) in enumerate(zip(pages, objects), 1):
         stamped: list[tuple] = []
         for t, ws in furniture:
             if t == "header":
-                emit_line(stamped, ws, "Helvetica", 8.0, HEADER_TOP, t)
+                emit_line(stamped, page_objs, ws, "Helvetica", 8.0, HEADER_TOP, t)
             else:
-                emit_line(stamped, ws, "Helvetica", 8.0, FOOTER_BOTTOM - 8.0, t)
+                emit_line(stamped, page_objs, ws, "Helvetica", 8.0, FOOTER_BOTTOM - 8.0, t)
         for w in stamped + page_words:
             out.append((pno, idx) + w)
             idx += 1
-    return out
+        # get_vectors.py:111 sorts every page's object list by y0
+        for oi, o in enumerate(sorted(page_objs, key=lambda o: (o[3], o[1], o[0]))):
+            out_objects.append((pno, oi) + o)
+    return out, out_objects
+
+
+def layout_html_rows(html: str) -> list[tuple]:
+    """Render html to flat word tuples in WORD_FIELDS order. Deterministic."""
+    return _layout(html)[0]
+
+
+def layout_objects(html: str) -> list[tuple]:
+    """S5 (get_vectors.py:36-111): flat non-text object tuples in
+    OBJECT_FIELDS order — images, hyperlink rects, <hr> lines, image
+    edges — per page, sorted by y0 within the page."""
+    return _layout(html)[1]
 
 
 def layout_html(html: str) -> list[dict]:

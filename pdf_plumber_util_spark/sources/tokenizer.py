@@ -102,6 +102,44 @@ def tokenize_pages_struct(pages: DataFrame) -> DataFrame:
     )
 
 
+OBJECT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("page", IntegerType()),
+        StructField("obj_idx", IntegerType()),
+        StructField("obj_type", StringType()),
+        StructField("x0", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("top", DoubleType()),
+        StructField("bottom", DoubleType()),
+        StructField("meta", StringType()),
+    ]
+)
+
+
+def _flat_objects(batches):
+    from .render import OBJECT_FIELDS, layout_objects
+
+    for pdf in batches:
+        rows: list[tuple] = []
+        urls: list[str] = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            objs = layout_objects(html.decode("utf-8", "replace"))
+            rows.extend(objs)
+            urls.extend([url] * len(objs))
+        cols = list(zip(*rows)) if rows else [[] for _ in OBJECT_FIELDS]
+        out = {"url": urls}
+        out.update({f: cols[i] for i, f in enumerate(OBJECT_FIELDS)})
+        yield pd.DataFrame(out)
+
+
+def extract_objects(pages: DataFrame) -> DataFrame:
+    """S5 (get_vectors.py:36-111): pages -> one row per non-text object
+    (image / hyperlink annotation rect / <hr> line / image edge), per
+    page sorted by y0. Same flat mapInPandas shape as the tokenizer."""
+    return pages.select("url", "html").mapInPandas(_flat_objects, OBJECT_SCHEMA)
+
+
 def page_dims(words: DataFrame) -> DataFrame:
     """(url, page, page_width, page_height) helper table."""
     return words.groupBy("url", "page").agg(

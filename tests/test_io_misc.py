@@ -100,3 +100,37 @@ def test_multimodal_plumbing(spark):
     )
     frames = frame_sample(media, every_n=5)
     assert frames.filter("frame_idx % 5 != 0").count() == 0
+
+
+def test_s5_objects_hand_derived(spark):
+    """S5 objects: geometry asserted from the documented box model, not a
+    snapshot. p-block after h1: top = 72 + 24(h1 gap) + 21.6(h1 line) +
+    6(p gap) = 123.6; 'Intro'(5ch*5pt) at 72-97, 'with' 100-120, link run
+    'link text' 123-166. Image 144x72 directly after the p line; hr line
+    4pt below the image with 1pt thickness."""
+    from pdf_plumber_util_spark.sources.tokenizer import extract_objects
+
+    html = ("<h1>Title Here</h1><p>Intro with <a>link text</a> inside.</p>"
+            "<img/><hr/>").encode()
+    pages = spark.createDataFrame([("u", html)], "url string, html binary")
+    objs = {(r["obj_type"], r["obj_idx"]): r for r in extract_objects(pages).collect()}
+
+    link = objs[("hyperlink", 0)]
+    assert (link["x0"], link["x1"]) == (123.0, 166.0)
+    assert round(link["top"], 1) == 123.6 and round(link["bottom"], 1) == 133.6
+
+    img = [r for r in objs.values() if r["obj_type"] == "image"][0]
+    assert (img["x0"], img["x1"]) == (72.0, 216.0)
+    assert round(img["bottom"] - img["top"], 1) == 72.0
+
+    edges = [r for r in objs.values() if r["obj_type"] == "edge"]
+    assert len(edges) == 4
+    assert sorted(e["meta"] for e in edges) == ["h", "h", "v", "v"]
+
+    line = [r for r in objs.values() if r["obj_type"] == "line"][0]
+    assert (line["x0"], line["x1"]) == (72.0, 540.0)
+    assert round(line["top"] - img["bottom"], 1) == 4.0
+
+    # per-page y0 ordering (get_vectors.py:111)
+    tops = [r["top"] for r in sorted(objs.values(), key=lambda r: r["obj_idx"])]
+    assert tops == sorted(tops)
