@@ -94,6 +94,21 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN in exhaustive-probe mode (nprobe == n_cells), which by
+    construction equals the brute-force cosine top-k — so the oracle is
+    the same SQL as s1 and value-checks the whole IVF machinery (seeded
+    centroids, Lloyd refinement, inverted-list join, probe ranking)."""
+    out = similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=5,
+        n_cells=8, nprobe=8,
+    )
+    return out.select(
+        "query_id", "rank", "vec_id",
+        (py_round(F.col("cosine") * 1e6) / 1e6).alias("cosine_r"),
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
@@ -312,6 +327,7 @@ EXTRA_QUERIES = {
     "d5_lsh_pairs": q_lsh_pairs,
     "s1_cosine_topk": q_cosine_topk,
     "s2_ann_bucketed": q_ann_bucketed,
+    "s3_ivf_topk": q_ivf_topk,
     "e1_events_hourly": q_events_hourly,
     "e2_events_sessions": q_events_sessions,
     "a12_font_keys": q_font_keys,
@@ -729,6 +745,10 @@ UNION ALL
 SELECT url, page, 'tail' AS part FROM tail WHERE hr <= CEIL(tn * 0.10)
 """,
 }
+
+
+# exhaustive-probe IVF == brute force, so it shares s1's oracle verbatim
+EXTRA_ORACLES["s3_ivf_topk"] = EXTRA_ORACLES["s1_cosine_topk"]
 
 
 # ------------------------------------------------- round-1 late additions

@@ -104,6 +104,112 @@ def bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     )
 
 
+def ivf_centroids(emb: DataFrame, n_cells: int = 16, n_iter: int = 1) -> DataFrame:
+    """IVF coarse quantizer, deterministic and cluster-size invariant.
+
+    Seeding: the n_cells vectors with the smallest xxhash64(vec_id) act as
+    initial centroids (a pseudo-random sample needing no driver RNG), then
+    ``n_iter`` Lloyd refinements: assign every vector to its argmax-cosine
+    centroid and recompute centroids as element-wise member means
+    (posexplode -> groupBy(cell, dim) -> avg -> re-assemble). Each
+    refinement is one broadcast join + one dimension-level aggregation —
+    no iteration-count blowup, no .collect() of vectors.
+
+    Returns (cell, _cv, _cnorm): centroid id, vector, norm.
+    """
+    base = with_norm(emb).select("vec_id", "_v", "_norm")
+    seeds = base.withColumn(
+        "_h", F.xxhash64(F.col("vec_id").cast("string"))
+    ).orderBy("_h").limit(n_cells)
+    # tiny (n_cells rows): a global row_number here is fine
+    cents = seeds.withColumn(
+        "cell", F.row_number().over(Window.orderBy("_h")) - 1
+    ).select("cell", F.col("_v").alias("_cv"), F.col("_norm").alias("_cnorm"))
+
+    for _ in range(n_iter):
+        assigned = ivf_assign(base, cents)
+        dim = assigned.select(
+            "cell", F.posexplode("_v").alias("dim", "val")
+        ).groupBy("cell", "dim").agg(F.avg("val").alias("mean"))
+        cents = (
+            dim.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+                    lambda s: s["mean"],
+                ).alias("_cv")
+            )
+            .withColumn("_cnorm", F.sqrt(_dot(F.col("_cv"), F.col("_cv"))))
+        )
+    return cents
+
+
+def ivf_assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every (vec_id, _v, _norm) row to its argmax-cosine centroid
+    cell (ties -> lowest cell id). Centroids are broadcast; the big side
+    never shuffles."""
+    joined = vectors.join(F.broadcast(cents))
+    scored = joined.select(
+        "vec_id", "_v", "_norm", "cell",
+        (_dot(F.col("_v"), F.col("_cv")) / (F.col("_norm") * F.col("_cnorm"))).alias("_sim"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cell", "_v", "_norm"),
+                F.struct(F.col("_sim"), -F.col("cell")),
+            ).alias("_best")
+        )
+        .select("vec_id", F.col("_best.cell").alias("cell"),
+                F.col("_best._v").alias("_v"), F.col("_best._norm").alias("_norm"))
+    )
+
+
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+             n_cells: int = 16, nprobe: int = 4, n_iter: int = 1) -> DataFrame:
+    """IVF-flat ANN: restrict each query's candidates to its ``nprobe``
+    nearest centroid cells, then exact cosine + top-k inside them.
+
+    At 100 TB the inverted lists are the partitioning: candidates come
+    from an equi-join on ``cell`` against a broadcast (query, cell) probe
+    table — O(N * nprobe / n_cells) dot products instead of O(N * Q).
+    With ``nprobe == n_cells`` the search is exhaustive and equals
+    cosine_topk exactly (pinned by test + the s3 oracle query).
+    """
+    base = with_norm(emb).select("vec_id", "_v", "_norm")
+    cents = ivf_centroids(emb, n_cells, n_iter)
+    inv = ivf_assign(base, cents)  # inverted lists: vec_id -> cell
+
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    qcells = q.join(F.broadcast(cents)).select(
+        "query_id", "_qv", "_qnorm", "cell",
+        (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qnorm") * F.col("_cnorm"))).alias("_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    probes = qcells.withColumn("_r", F.row_number().over(wq)).filter(
+        F.col("_r") <= nprobe
+    ).select("query_id", "_qv", "_qnorm", "cell")
+
+    cand = inv.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = cand.select(
+        "query_id", "vec_id",
+        (_dot(F.col("_qv"), F.col("_v")) / (F.col("_qnorm") * F.col("_norm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine")
+    )
+
+
 def embedding_neardup(emb: DataFrame, threshold: float = 0.9,
                       max_vec_id: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b) with a < b and

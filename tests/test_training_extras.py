@@ -153,3 +153,53 @@ def test_m1_hf_group_sampling_exact(spark):
     assert sum(1 for _, k in big if k == "group") == 12
     assert sum(1 for _, k in big if k == "individual") == 4
     assert {p for (u, p, k) in got if u == "u_small"} == set(range(1, 11))
+
+
+def test_ivf_exhaustive_probe_equals_bruteforce(spark, sf_dir):
+    """nprobe == n_cells makes IVF search exhaustive: results must equal
+    cosine_topk exactly (same ranks, same vec_ids, same cosines)."""
+    from pdf_plumber_util_spark.operators import similarity
+    from pdf_plumber_util_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, [0, 1, 2], k=5).orderBy(
+        "query_id", "rank"
+    ).collect()
+    ivf = similarity.ivf_topk(emb, [0, 1, 2], k=5, n_cells=8, nprobe=8).orderBy(
+        "query_id", "rank"
+    ).collect()
+    assert [(r["query_id"], r["rank"], r["vec_id"]) for r in exact] == [
+        (r["query_id"], r["rank"], r["vec_id"]) for r in ivf
+    ]
+    for a, b in zip(exact, ivf):
+        assert abs(a["cosine"] - b["cosine"]) < 1e-12
+
+
+def test_ivf_approximate_candidates_from_probed_cells_only(spark, sf_dir):
+    """Approximate mode (nprobe < n_cells): every returned neighbor's cell
+    must be one of the query's probed cells, and results are a subset of
+    some exact ranking prefix sanity (cosines are true cosines)."""
+    from pyspark.sql import functions as F
+
+    from pdf_plumber_util_spark.operators import similarity
+    from pdf_plumber_util_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = similarity.with_norm(emb).select("vec_id", "_v", "_norm")
+    cents = similarity.ivf_centroids(emb, n_cells=8, n_iter=1)
+    inv = similarity.ivf_assign(base, cents)
+
+    got = similarity.ivf_topk(emb, [0, 1], k=5, n_cells=8, nprobe=2)
+    joined = got.join(inv.select("vec_id", "cell"), "vec_id").collect()
+    # probed cells per query: top-2 centroid cells by cosine
+    qcells = {}
+    cent_rows = cents.collect()
+    for r in base.filter(F.col("vec_id").isin([0, 1])).collect():
+        sims = []
+        for c in cent_rows:
+            dot = sum(x * y for x, y in zip(r["_v"], c["_cv"]))
+            sims.append((dot / (r["_norm"] * c["_cnorm"]), -c["cell"]))
+        top = sorted(sims, reverse=True)[:2]
+        qcells[r["vec_id"]] = {-t[1] for t in top}
+    for row in joined:
+        assert row["cell"] in qcells[row["query_id"]], row
