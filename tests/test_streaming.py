@@ -59,3 +59,29 @@ def test_session_parity(spark, events_dir):
     )
     want = {r["user_id"]: r["n_sessions"] for r in batch}
     assert got == want
+
+
+def test_stateful_running_totals_parity(spark, events_dir):
+    """applyInPandasWithState running totals: after draining the stream
+    (availableNow, update mode), each user's LAST emission equals the
+    batch groupBy totals."""
+    from pdf_plumber_util_spark.streaming.events import running_user_totals
+
+    stream = running_user_totals(stream_events(spark, events_dir))
+    rows = run_stream_once(stream, out_mode="update")
+    # update-mode memory sink may hold one emission per trigger; the last
+    # per user is the final running total
+    got = {}
+    for r in rows:
+        got[r["user_id"]] = (r["n_events"], r["sum_value"])
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for u in batch:
+        assert got[u][0] == batch[u][0], u
+        assert abs(got[u][1] - batch[u][1]) < 1e-6, u
