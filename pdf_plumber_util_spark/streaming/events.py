@@ -67,6 +67,46 @@ def stream_extraction_metrics(docs_stream: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals maintained in explicit group state across triggers.
+
+    This is the arbitrary-state escape hatch for semantics the built-in
+    windowed aggregations can't express (the reference has no streaming at
+    all, so this is engine-completeness surface like the rest of the
+    module). Each trigger updates (n_events, sum_value) state per user and
+    emits the running totals; over an availableNow run of static input the
+    final emission per user equals the batch groupBy exactly, which the
+    parity test pins.
+
+    Scale shape: state is two scalars per user key — the state store
+    shuffles by user_id once and stays partitioned; the pandas function
+    sees one Arrow batch iterator per key per trigger.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def update(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_once(stream_df: DataFrame, out_mode: str = "complete") -> list:
     """Execute a streaming plan with availableNow and return collected rows
     (test helper; uses an in-memory sink)."""
