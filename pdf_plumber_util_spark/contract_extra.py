@@ -904,6 +904,14 @@ def q_combined_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling k-gram hashes, window-min
+    selection) over a bounded doc range."""
+    return text_analysis.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=8, w=4, max_doc_id=50
+    )
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (rolling-hash family): md5 over
     O3-normalized text + bucket prefix."""
@@ -919,6 +927,7 @@ EXTRA_QUERIES.update({
     "s6_attribute_profile": q_attribute_profile,
     "r4_match_groups": q_match_groups,
     "t3_fingerprints": q_fingerprints,
+    "t4_winnowing": q_winnowing,
 })
 
 EXTRA_ORACLES.update({
@@ -969,6 +978,25 @@ SELECT url, page, line_id,
   FIRST(fontname ORDER BY x0, word_idx) AS fontname,
   FIRST(size ORDER BY x0, word_idx) AS size
 FROM cgrp GROUP BY url, page, line_id, grp
+""",
+    "t4_winnowing": r"""
+WITH grams0 AS (
+  SELECT doc_id, text, length(text) AS n,
+    unnest(range(1, length(text) - 6)) AS i
+  FROM documents WHERE doc_id < 50 AND length(text) >= 11
+), grams AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+    md5(substr(text, CAST(i AS INT), 8)) AS h, n
+  FROM grams0
+), wins AS (
+  SELECT doc_id, i,
+    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+    n
+  FROM grams
+)
+SELECT DISTINCT doc_id, fp AS fingerprint
+FROM wins WHERE i <= n - 7 - 3
 """,
     "d6_embedding_neardup": f"""
 WITH e AS (

@@ -127,3 +127,32 @@ def char_runs(docs: DataFrame, max_doc_id: int | None = None) -> DataFrame:
         F.count("*").cast("long").alias("run_len"),
         F.min("pos").cast("long").alias("run_start"),
     )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
+                        max_doc_id: int | None = None) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash family): hash
+    every char k-gram, then keep the DISTINCT set of per-window minima
+    over windows of w consecutive k-gram hashes — the selection set of
+    the classic winnowing scheme (any copy of length >= w+k-1 shares a
+    fingerprint).
+
+    Entirely map-side: the k-gram hash array, the window minima, and the
+    per-doc dedup are array expressions over each document row; only the
+    final explode leaves the row. Output: (doc_id, fingerprint).
+    """
+    if max_doc_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc_id)
+    n = F.length("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(k))),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(grams) - (w - 1)),
+        lambda j: F.array_min(F.slice(grams, j, w)),
+    )
+    sel = F.when(n >= k + w - 1, F.array_distinct(mins)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return docs.select("doc_id", F.explode(sel).alias("fingerprint"))

