@@ -71,6 +71,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=3 near-dup pairs via pigeonhole chunk join."""
+    return dedup.simhash_candidates(load_table(spark, sf_dir, "documents"))
+
+
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check (pair count depends on minhash collisions; values
     # verified indirectly through q_minhash_bands)
@@ -324,6 +329,7 @@ EXTRA_QUERIES = {
     "d2_minhash_bands": q_minhash_bands,
     "d3_ngram_jaccard": q_ngram_jaccard,
     "d4_simhash": q_simhash,
+    "d7_simhash_candidates": q_simhash_candidates,
     "d5_lsh_pairs": q_lsh_pairs,
     "s1_cosine_topk": q_cosine_topk,
     "s2_ann_bucketed": q_ann_bucketed,
@@ -978,6 +984,39 @@ SELECT url, page, line_id,
   FIRST(fontname ORDER BY x0, word_idx) AS fontname,
   FIRST(size ORDER BY x0, word_idx) AS size
 FROM cgrp GROUP BY url, page, line_id, grp
+""",
+    "d7_simhash_candidates": _DOCS_TOKS_SQL + r"""
+, nib AS (
+  SELECT doc_id, shingle, i.i AS nib_idx,
+    strpos('0123456789abcdef', substr(md5(shingle), CAST(i.i AS INT), 1)) - 1 AS nv
+  FROM shingles, generate_series(1, 16) AS i(i)
+), bits AS (
+  SELECT doc_id, (nib_idx - 1) * 4 + j.j AS bit_idx,
+    CASE WHEN CAST(FLOOR(nv / POWER(2, 3 - j.j)) AS BIGINT) % 2 = 1
+         THEN 1 ELSE -1 END AS vote
+  FROM nib, generate_series(0, 3) AS j(j)
+), sigb AS (
+  SELECT doc_id, bit_idx,
+    CASE WHEN SUM(vote) > 0 THEN '1' ELSE '0' END AS bit
+  FROM bits GROUP BY doc_id, bit_idx
+), sig AS (
+  SELECT doc_id, STRING_AGG(bit, '' ORDER BY bit_idx) AS sb
+  FROM sigb GROUP BY doc_id
+), chunked AS (
+  SELECT doc_id, sb, c.c AS chunk_idx, substr(sb, CAST(c.c AS INT) * 16 + 1, 16) AS chunk
+  FROM sig, generate_series(0, 3) AS c(c)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sb AS ba, b.sb AS bb
+  FROM chunked a JOIN chunked b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+), ham AS (
+  SELECT doc_a, doc_b,
+    (SELECT CAST(SUM(CASE WHEN substr(ba, CAST(p.p AS INT), 1)
+                        <> substr(bb, CAST(p.p AS INT), 1) THEN 1 ELSE 0 END) AS BIGINT)
+     FROM generate_series(1, 64) AS p(p)) AS hamming
+  FROM cand
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
 """,
     "t4_winnowing": r"""
 WITH grams0 AS (

@@ -197,6 +197,60 @@ def ngram_jaccard(docs: DataFrame, k: int = 3, max_doc_id: int | None = None,
     )
 
 
+def simhash_candidates(docs: DataFrame, k: int = 3, chunks: int = 4,
+                       max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= max_hamming.
+
+    Pigeonhole candidate generation: split the 64-bit signature into
+    ``chunks`` equal substrings — any pair within hamming ``chunks - 1``
+    must agree on at least one chunk, so candidates come from an equi-join
+    on (chunk_idx, chunk) instead of an all-pairs product (the hamming
+    analog of the MinHash band join; scales the same way). Exact hamming
+    verify afterwards, JVM-side (zip_with over the bit chars).
+
+    Requires max_hamming <= chunks - 1 for exact recall.
+    """
+    if max_hamming > chunks - 1:
+        raise ValueError("pigeonhole needs max_hamming <= chunks - 1")
+    sig = simhash(docs, k)
+    clen = 64 // chunks
+    parts = F.array(*[
+        F.struct(
+            F.lit(i).alias("chunk_idx"),
+            F.substring("simhash_bits", i * clen + 1, clen).alias("chunk"),
+        )
+        for i in range(chunks)
+    ])
+    chunked = sig.select(
+        "doc_id", "simhash_bits", F.explode(parts).alias("c")
+    ).select(
+        "doc_id", "simhash_bits",
+        F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk"),
+    )
+    a = chunked.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash_bits").alias("_ba"),
+        "chunk_idx", "chunk",
+    )
+    b = chunked.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash_bits").alias("_bb"),
+        "chunk_idx", "chunk",
+    )
+    cand = (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_ba", "_bb")
+        .distinct()
+    )
+    diff = F.zip_with(
+        F.split("_ba", "(?!$)"), F.split("_bb", "(?!$)"),
+        lambda x, y: F.when(x != y, 1).otherwise(0),
+    )
+    ham = F.aggregate(diff, F.lit(0), lambda acc, v: acc + v)
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def simhash(docs: DataFrame, k: int = 3) -> DataFrame:
     """64-bit SimHash per doc from shingle md5s, JVM-side.
 

@@ -230,3 +230,29 @@ def test_winnowing_shared_substring_guarantee(spark):
     for r in fps2:
         by_doc2.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     assert by_doc == by_doc2
+
+
+def test_simhash_candidates_exact_recall_within_pigeonhole(spark, sf_dir):
+    """Pigeonhole guarantee: with 4 chunks, EVERY pair at hamming <= 3
+    shares a chunk — the chunk-join candidates must equal the brute-force
+    hamming<=3 pairs exactly (bounded doc range)."""
+    from pyspark.sql import functions as F
+
+    from pdf_plumber_util_spark.operators import dedup
+    from pdf_plumber_util_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_candidates(docs).collect()
+    }
+    sigs = {r["doc_id"]: r["simhash_bits"] for r in dedup.simhash(docs).collect()}
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(1 for x, y in zip(sigs[a], sigs[b]) if x != y)
+            if h <= 3:
+                want.add((a, b, h))
+    assert got == want
+    assert want, "fixture should contain at least one near-dup pair"
