@@ -198,6 +198,36 @@ def _doc_pages(spark, sf_dir):
     )
 
 
+_O7_LINES = [
+    "Introduction ........ 3",
+    "2.1 Background .... 17",
+    "No dots here 42",
+    "Dots ... but no page num",
+    "Chapter body text about nothing",
+    "Appendix C ...... 210",
+    "trailing dots page ... 9 extra",
+]
+
+
+def q_toc_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 (sampling.py:444): TOC-entry predicate over literal lines."""
+    from .plans.io import is_toc_line
+
+    df = spark.createDataFrame([(t,) for t in _O7_LINES], "text string")
+    return df.select("text", is_toc_line(F.col("text")).alias("is_toc"))
+
+
+def q_page_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/J3 (plumb_layout.py:8-21): '1-2' include-set filter on the words
+    table, counted per page."""
+    from .plans.io import filter_page_range
+
+    words = words_from_lineitem(spark, sf_dir)
+    return filter_page_range(words, "1-2", 3).groupBy("url", "page").agg(
+        F.count("*").cast("long").alias("n_words")
+    )
+
+
 def q_scan_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A16 (document_scanner.py:402-426): per pattern, total matches and
     distinct (url, page) coverage over the lines scan."""
@@ -346,6 +376,8 @@ EXTRA_QUERIES = {
     "v2_spacing_occurrences": q_spacing_occurrences,
     "r2_pattern_scan": q_pattern_scan,
     "a16_scan_statistics": q_scan_statistics,
+    "o7_toc_heuristic": q_toc_heuristic,
+    "j3_page_range": q_page_range,
     "m4_sampled_extraction": q_sampled_extraction,
     "m2_sample_stratified": q_sample_stratified,
     "m3_sample_toc": q_sample_toc,
@@ -1017,6 +1049,20 @@ FROM cgrp GROUP BY url, page, line_id, grp
   FROM cand
 )
 SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+""",
+    "o7_toc_heuristic": r"""
+WITH t(text) AS (VALUES ('Introduction ........ 3'), ('2.1 Background .... 17'), ('No dots here 42'), ('Dots ... but no page num'), ('Chapter body text about nothing'), ('Appendix C ...... 210'), ('trailing dots page ... 9 extra'))
+SELECT text,
+  contains(text, '...')
+  AND regexp_matches(
+        list_extract(regexp_split_to_array(trim(text), '\s+'), -1), '^\d+$')
+  AS is_toc
+FROM t
+""",
+    "j3_page_range": WORDS_FROM_LINEITEM_SQL + """
+SELECT url, page, CAST(COUNT(*) AS BIGINT) AS n_words
+FROM words WHERE page IN (1, 2)
+GROUP BY url, page
 """,
     "t4_winnowing": r"""
 WITH grams0 AS (
