@@ -122,3 +122,53 @@ def frame_sample(media: DataFrame, every_n: int = 5) -> DataFrame:
         media.filter(F.col("kind") == "video")
         .select("media_id", F.explode(frames).alias("frame_idx"), "n_frames")
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, w: int, h: int, out_w: int, out_h: int) -> bytes:
+    """REAL-RESIZER SLOT (production: PIL.Image.resize / cv2.resize).
+    Deterministic fake: nearest-neighbor index sampling over the raw byte
+    grid, so output size and batch shape behave exactly like a real
+    resize (out_w*out_h bytes per image)."""
+    a = np.frombuffer(payload, dtype=np.uint8)
+    if a.size < w * h or w == 0 or h == 0:
+        return bytes(out_w * out_h)
+    grid = a[: w * h].reshape(h, w)
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return grid[np.ix_(ys, xs)].tobytes()
+
+
+def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Image resize over the opaque payloads: iterator mapInPandas, one
+    Arrow batch in memory per task, payload column pruned for non-image
+    rows by the upstream filter (the standard multimodal preprocessing
+    shape; decode/resize stubbed, plumbing real)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                resize_stub(p, w or 0, h or 0, out_w, out_h)
+                for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "payload": out,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload", "width", "height"
+    ).mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -134,3 +134,22 @@ def test_s5_objects_hand_derived(spark):
     # per-page y0 ordering (get_vectors.py:111)
     tops = [r["top"] for r in sorted(objs.values(), key=lambda r: r["obj_idx"])]
     assert tops == sorted(tops)
+
+
+def test_multimodal_resize_plumbing(spark):
+    """resize_images: every output payload is exactly out_w*out_h bytes,
+    deterministic across runs, images only."""
+    from pdf_plumber_util_spark.operators.multimodal import (
+        resize_images,
+        synth_media,
+    )
+
+    media = synth_media(spark, 24)
+    out = resize_images(media, out_w=16, out_h=8).collect()
+    assert out and all(len(r["payload"]) == 16 * 8 for r in out)
+    out2 = resize_images(media, out_w=16, out_h=8).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == {
+        r["media_id"]: bytes(r["payload"]) for r in out2
+    }
+    kinds = {r["kind"] for r in media.collect()}
+    assert "image" in kinds and len(out) < media.count()
