@@ -140,9 +140,11 @@ def resize_stub(payload: bytes, w: int, h: int, out_w: int, out_h: int) -> bytes
     grid, so output size and batch shape behave exactly like a real
     resize (out_w*out_h bytes per image)."""
     a = np.frombuffer(payload, dtype=np.uint8)
-    if a.size < w * h or w == 0 or h == 0:
+    if a.size == 0 or w == 0 or h == 0:
         return bytes(out_w * out_h)
-    grid = a[: w * h].reshape(h, w)
+    # tile/truncate the byte stream to the declared w*h grid (payloads are
+    # opaque fakes here; a real decoder yields the true pixel grid)
+    grid = np.resize(a, w * h).reshape(h, w)
     ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
     xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
     return grid[np.ix_(ys, xs)].tobytes()
