@@ -228,6 +228,45 @@ def q_page_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_method_compare_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 upgraded to the reference's THREE-method shape (extractor.py:
+    462-498): per (url, page, line_number) the positional zip of raw line
+    text from (a) y_tol=3 clustering, (b) y_tol=2 clustering, and (c)
+    y_tol=3 with C2 x-tolerance word merging — the merged method is where
+    combine_words_x participates in a real pipeline. Runs on the
+    tight-pitch geometry (the only one where merges occur)."""
+    from pyspark.sql import Window
+
+    from .operators import assign_line_ids_window, combine_words_x
+
+    words = words_from_lineitem(spark, sf_dir, tight_x=True)
+
+    def line_text(df):
+        return df.groupBy("url", "page", "line_id").agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("x0", "word_idx", "text"))),
+                    lambda m: m["text"],
+                ),
+            ).alias("text"),
+        ).withColumn(
+            "line_number",
+            F.row_number().over(
+                Window.partitionBy("url", "page").orderBy("line_id")
+            ),
+        ).select("url", "page", "line_number", "text")
+
+    a = line_text(assign_line_ids_window(words, 3.0)).withColumnRenamed("text", "text_a")
+    b = line_text(assign_line_ids_window(words, 2.0)).withColumnRenamed("text", "text_b")
+    c = line_text(combine_words_x(assign_line_ids_window(words, 3.0))).withColumnRenamed("text", "text_c")
+    keys = ["url", "page", "line_number"]
+    return (
+        a.join(b, keys, "full_outer").join(c, keys, "full_outer")
+        .select(*keys, "text_a", "text_b", "text_c")
+    )
+
+
 def q_scan_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A16 (document_scanner.py:402-426): per pattern, total matches and
     distinct (url, page) coverage over the lines scan."""
@@ -387,6 +426,7 @@ EXTRA_QUERIES = {
     "h3_contextual_candidates": q_contextual_candidates,
     "v1_range_match": q_range_match,
     "j2_method_compare": q_method_compare,
+    "j2b_method_compare_3way": q_method_compare_3way,
     "h4_iterative_boundaries": q_h4_boundaries,
 }
 
@@ -1063,6 +1103,63 @@ FROM t
 SELECT url, page, CAST(COUNT(*) AS BIGINT) AS n_words
 FROM words WHERE page IN (1, 2)
 GROUP BY url, page
+""",
+    "j2b_method_compare_3way": WORDS_TIGHT_SQL + _LINED_FRAGMENT + r"""
+, lined2 AS (
+  SELECT w.*, CAST(COALESCE(SUM(CASE WHEN w.top - w.lag_top > 2.0 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY w.url, w.page ORDER BY w.top, w.word_idx
+          ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS line_id
+  FROM (
+    SELECT *, LAG(top) OVER (PARTITION BY url, page ORDER BY top, word_idx) AS lag_top
+    FROM words
+  ) w
+), cgrp AS (
+  SELECT *, SUM(CASE WHEN lag_x1 IS NOT NULL AND ABS(x0 - lag_x1) <= 3.0
+                     THEN 0 ELSE 1 END)
+    OVER (PARTITION BY url, page, line_id ORDER BY x0, word_idx
+          ROWS UNBOUNDED PRECEDING) AS grp
+  FROM (
+    SELECT *, LAG(x1) OVER (PARTITION BY url, page, line_id
+                            ORDER BY x0, word_idx) AS lag_x1
+    FROM lined
+  )
+), merged AS (
+  SELECT url, page, line_id, MIN(x0) AS x0,
+    CAST(FIRST(word_idx ORDER BY x0, word_idx) AS BIGINT) AS word_idx,
+    STRING_AGG(text, '' ORDER BY x0, word_idx) AS text
+  FROM cgrp GROUP BY url, page, line_id, grp
+), la AS (
+  SELECT url, page,
+    CAST(ROW_NUMBER() OVER (PARTITION BY url, page ORDER BY line_id) AS INT) AS line_number,
+    text AS text_a
+  FROM (SELECT url, page, line_id,
+          STRING_AGG(text, ' ' ORDER BY x0, word_idx) AS text
+        FROM lined GROUP BY url, page, line_id)
+), lb AS (
+  SELECT url, page,
+    CAST(ROW_NUMBER() OVER (PARTITION BY url, page ORDER BY line_id) AS INT) AS line_number,
+    text AS text_b
+  FROM (SELECT url, page, line_id,
+          STRING_AGG(text, ' ' ORDER BY x0, word_idx) AS text
+        FROM lined2 GROUP BY url, page, line_id)
+), lc AS (
+  SELECT url, page,
+    CAST(ROW_NUMBER() OVER (PARTITION BY url, page ORDER BY line_id) AS INT) AS line_number,
+    text AS text_c
+  FROM (SELECT url, page, line_id,
+          STRING_AGG(text, ' ' ORDER BY x0, word_idx) AS text
+        FROM merged GROUP BY url, page, line_id)
+)
+SELECT COALESCE(la.url, lb.url, lc.url) AS url,
+  COALESCE(la.page, lb.page, lc.page) AS page,
+  COALESCE(la.line_number, lb.line_number, lc.line_number) AS line_number,
+  la.text_a, lb.text_b, lc.text_c
+FROM la
+FULL OUTER JOIN lb ON la.url = lb.url AND la.page = lb.page
+  AND la.line_number = lb.line_number
+FULL OUTER JOIN lc ON COALESCE(la.url, lb.url) = lc.url
+  AND COALESCE(la.page, lb.page) = lc.page
+  AND COALESCE(la.line_number, lb.line_number) = lc.line_number
 """,
     "t4_winnowing": r"""
 WITH grams0 AS (
