@@ -131,3 +131,30 @@ def test_salted_input_rebalance_plan(spark):
         .select("pid").distinct().count()
     )
     assert parts >= 4
+
+
+def test_giant_document_bounded(spark):
+    """Skew unit check: one document ~40x the median page count flows
+    through the full flagship without error and with correct metrics —
+    the sequential unit is a page-bounded window chain, so a giant doc
+    costs proportional work, not failure (north-rule giant-host case)."""
+    from pyspark.sql import functions as F
+
+    from pdf_plumber_util_spark.plans.extract import extract_documents
+    from pdf_plumber_util_spark.sources.pages import build_doc
+
+    docs = [build_doc(i) for i in range(6)]
+    # giant: repeat one doc's body many times under one url
+    base_html = docs[0]["html"].decode()
+    body = base_html.split("</header>", 1)[-1]
+    giant = "<header>G</header>" + body * 40
+    rows = [(d["url"], d["html"]) for d in docs[1:]]
+    rows.append(("giant-doc", giant.encode()))
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: r for r in extract_documents(pages).collect()}
+    assert "giant-doc" in out
+    g = out["giant-doc"]
+    others = [v for k, v in out.items() if k != "giant-doc"]
+    assert g["n_pages"] > 10 * max(o["n_pages"] for o in others)
+    assert g["chars_extracted"] > 10 * max(o["chars_extracted"] for o in others)
+    assert g["n_blocks_dropped"] >= g["n_pages"]  # header furniture per page
