@@ -267,6 +267,21 @@ def q_method_compare_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A9 (analyzer.py:384-433): per (url, gap_type) line counts and
+    summed gap (classification via O1; previously verified only through
+    the o1 composition)."""
+    from .operators.spacing import classify_gaps, contextual_spacing_rules
+
+    lines = _contract_lines(spark, sf_dir)
+    rules = contextual_spacing_rules(lines)
+    classified = classify_gaps(lines, rules)
+    return classified.groupBy("url", "gap_type").agg(
+        F.count("*").cast("long").alias("n"),
+        (py_round(F.sum("gap_before") * 1e6) / 1e6).alias("sum_gap_r"),
+    )
+
+
 def q_scan_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A16 (document_scanner.py:402-426): per pattern, total matches and
     distinct (url, page) coverage over the lines scan."""
@@ -415,6 +430,7 @@ EXTRA_QUERIES = {
     "v2_spacing_occurrences": q_spacing_occurrences,
     "r2_pattern_scan": q_pattern_scan,
     "a16_scan_statistics": q_scan_statistics,
+    "a8_paragraph_stats": q_paragraph_stats,
     "o7_toc_heuristic": q_toc_heuristic,
     "j3_page_range": q_page_range,
     "m4_sampled_extraction": q_sampled_extraction,
@@ -1160,6 +1176,26 @@ FULL OUTER JOIN lb ON la.url = lb.url AND la.page = lb.page
 FULL OUTER JOIN lc ON COALESCE(la.url, lb.url) = lc.url
   AND COALESCE(la.page, lb.page) = lc.page
   AND COALESCE(la.line_number, lb.line_number) = lc.line_number
+""",
+    "a8_paragraph_stats": _LINES_SQL + _RULES_SQL + f"""
+, fb AS (
+  SELECT url,
+    FIRST(range_hi ORDER BY total_gaps DESC, first_ctx_pos ASC) AS fb_hi,
+    FIRST(para_spacing_max ORDER BY total_gaps DESC, first_ctx_pos ASC) AS fb_pmax
+  FROM rules GROUP BY url
+), classified AS (
+  SELECT l.url, l.gap_before,
+    CASE WHEN COALESCE(r.range_hi, f.fb_hi) IS NULL THEN 'Line'
+         WHEN {sql_round_to('l.gap_before', 0.5)} <= COALESCE(r.range_hi, f.fb_hi) THEN 'Line'
+         WHEN {sql_round_to('l.gap_before', 0.5)} <= COALESCE(r.para_spacing_max, f.fb_pmax) THEN 'Paragraph'
+         ELSE 'Section' END AS gap_type
+  FROM lines l
+  LEFT JOIN rules r ON l.url = r.url AND l.predominant_size = r.context_size
+  LEFT JOIN fb f ON l.url = f.url
+)
+SELECT url, gap_type, CAST(COUNT(*) AS BIGINT) AS n,
+  {_sql_py_round('SUM(gap_before) * 1000000.0')} / 1000000.0 AS sum_gap_r
+FROM classified GROUP BY url, gap_type
 """,
     "t4_winnowing": r"""
 WITH grams0 AS (
