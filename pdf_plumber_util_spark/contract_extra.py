@@ -282,6 +282,14 @@ def q_paragraph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_precision_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 (scripts/precision_analysis.py:28-44): banker-round every double
+    column, applied to the per-page margins table at 1 decimal."""
+    return stats.precision_reduce(
+        stats.page_margins(words_from_lineitem(spark, sf_dir)), decimals=1
+    )
+
+
 def q_scan_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A16 (document_scanner.py:402-426): per pattern, total matches and
     distinct (url, page) coverage over the lines scan."""
@@ -431,6 +439,7 @@ EXTRA_QUERIES = {
     "r2_pattern_scan": q_pattern_scan,
     "a16_scan_statistics": q_scan_statistics,
     "a8_paragraph_stats": q_paragraph_stats,
+    "p7_precision_reduce": q_precision_reduce,
     "o7_toc_heuristic": q_toc_heuristic,
     "j3_page_range": q_page_range,
     "m4_sampled_extraction": q_sampled_extraction,
@@ -1196,6 +1205,14 @@ FULL OUTER JOIN lc ON COALESCE(la.url, lb.url) = lc.url
 SELECT url, gap_type, CAST(COUNT(*) AS BIGINT) AS n,
   {_sql_py_round('SUM(gap_before) * 1000000.0')} / 1000000.0 AS sum_gap_r
 FROM classified GROUP BY url, gap_type
+""",
+    "p7_precision_reduce": WORDS_FROM_LINEITEM_SQL + f"""
+SELECT url, page,
+  {_sql_py_round('MIN(x0) * 10.0')} / 10.0 AS min_x0,
+  {_sql_py_round('MAX(x1) * 10.0')} / 10.0 AS max_x1,
+  {_sql_py_round('MIN(top) * 10.0')} / 10.0 AS min_top,
+  {_sql_py_round('MAX(bottom) * 10.0')} / 10.0 AS max_bottom
+FROM words GROUP BY url, page
 """,
     "t4_winnowing": r"""
 WITH grams0 AS (
