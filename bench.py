@@ -92,6 +92,9 @@ def main() -> None:
             round(n_extracted / extract_sec, 2) if extract_sec else None
         ),
     }
+    from pdf_plumber_util_spark.contract import clear_shared_lines
+
+    clear_shared_lines()
     print(json.dumps(result))
 
 

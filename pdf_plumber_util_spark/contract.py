@@ -290,12 +290,14 @@ _BOUNDS_SQL = """
 # persisted a FRESH identical DF inside each analysis query, which leaked
 # cached copies across the contract run (CacheManager "already cached"
 # warnings; pinned executor storage at scale). The shared fixture is
-# cached once and unpersisted via clear_shared_lines().
-_SHARED_LINES: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+# cached once and unpersisted via clear_shared_lines(). Keyed by
+# applicationId (unique per SparkContext, never recycled — id(spark) was,
+# after GC, which could alias a stale entry to a new session).
+_SHARED_LINES: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
-def _lines_df(spark: SparkSession, sf_dir: str, persist: bool = True) -> tuple[DataFrame, DataFrame]:
-    key = (id(spark), sf_dir)
+def _lines_df(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
     hit = _SHARED_LINES.get(key)
     if hit is not None:
         return hit

@@ -132,9 +132,10 @@ def combine_words_x(words: DataFrame, x_tol: float = 3.0) -> DataFrame:
         "page",
         "line_id",
         F.col("_first")["word_idx"].alias("word_idx"),
-        F.aggregate(
-            "_members", F.lit(""), lambda acc, m: F.concat(acc, m["text"])
-        ).alias("text"),
+        # array_join builds with one UTF8StringBuilder (O(total chars));
+        # the round-2 aggregate+concat form reallocated the accumulator
+        # string once per member
+        F.array_join(F.transform("_members", lambda m: m["text"]), "").alias("text"),
         F.col("_first")["x0"].alias("x0"),
         F.col("_last")["x1"].alias("x1"),
         F.col("_first")["top"].alias("top"),
@@ -182,8 +183,9 @@ def build_segments(words_with_lines: DataFrame) -> DataFrame:
         *[F.first(c).alias(c) for c in passthrough],
     )
     # segment text: plain concat of member texts in (x0, word_idx) order,
-    # then Python-str.strip() (extractor.py:375-399)
-    raw_text = F.aggregate("_members", F.lit(""), lambda acc, m: F.concat(acc, m["text"]))
+    # then Python-str.strip() (extractor.py:375-399). array_join = single
+    # builder pass instead of per-member string reallocation.
+    raw_text = F.array_join(F.transform("_members", lambda m: m["text"]), "")
     return agg.select(
         "url",
         "page",
@@ -291,24 +293,24 @@ def _info_agg():
 
 
 def _text_expr():
-    return F.aggregate(
-        "_parts",
-        F.lit(""),
-        lambda acc, p: F.concat(
-            acc, F.when(p["_sidx"] > 1, F.lit(" ")).otherwise(F.lit("")), p["text"]
-        ),
-    )
+    # parts are exactly _sidx = 1..k in order, so "space before every part
+    # but the first" IS a single-space join — one builder pass, no
+    # quadratic accumulator reallocation (round-2 flagship regression fix)
+    return F.array_join(F.transform("_parts", lambda p: p["text"]), " ")
 
 
 def _prop_expr():
-    return F.aggregate(
-        "_parts",
-        F.lit(""),
-        lambda acc, p: F.concat(
-            acc,
-            F.when(p["_sidx"] > 1, F.repeat(F.lit(" "), p["_nsp"])).otherwise(F.lit("")),
-            p["text"],
+    return F.array_join(
+        F.transform(
+            "_parts",
+            lambda p: F.concat(
+                F.when(p["_sidx"] > 1, F.repeat(F.lit(" "), p["_nsp"])).otherwise(
+                    F.lit("")
+                ),
+                p["text"],
+            ),
         ),
+        "",
     )
 
 
@@ -343,18 +345,15 @@ def assemble_lines(
             raise ValueError("segments lack page dims and no page_dims given")
         segs = segs.join(page_dims, ["url", "page"], "left")
 
-    lw = Window.partitionBy("url", "page", "line_id")
     enriched = _with_o2_columns(segs)
 
-    # A1 via nested windows: per-size width sums, then line-level argmax
-    size_w = Window.partitionBy("url", "page", "line_id", "rounded_size")
-    font_w = Window.partitionBy("url", "page", "line_id", "font")
-    enriched = (
-        enriched.withColumn("_w_size", F.sum("seg_width").over(size_w))
-        .withColumn("_fs_size", F.min("seg_id").over(size_w))
-        .withColumn("_w_font", F.sum("seg_width").over(font_w))
-        .withColumn("_fs_font", F.min("seg_id").over(font_w))
-    )
+    # A1 collapsed into the line aggregate (round-2 flagship-regression
+    # fix): the previous form added TWO extra WindowExec sorts of the whole
+    # segment stream — partitionBy (..., rounded_size) and (..., font) —
+    # just to compute per-value width sums. Lines have a handful of
+    # segments, so the argmax is computed post-aggregation with
+    # higher-order functions over one collected struct array instead:
+    # O(k * distinct) per line, zero extra sorts, same single-pass plan.
     lines = enriched.groupBy("url", "page", "line_id").agg(
         _parts_agg().alias("_parts"),
         _info_agg().alias("_info"),
@@ -363,22 +362,36 @@ def assemble_lines(
         F.max(F.col("bbox")["x1"]).alias("_bx1"),
         F.max(F.col("bbox")["bottom"]).alias("_bbot"),
         F.sum("seg_width").alias("_total_w"),
-        F.max(
-            F.struct(
-                F.col("_w_size").alias("w"),
-                (-F.col("_fs_size")).alias("nfs"),
-                F.col("rounded_size").alias("val"),
-            )
-        ).alias("_best_size"),
-        F.max(
-            F.struct(
-                F.col("_w_font").alias("w"),
-                (-F.col("_fs_font")).alias("nfs"),
-                F.col("font").alias("val"),
-            )
-        ).alias("_best_font"),
+        F.collect_list(
+            F.struct("seg_id", "rounded_size", "font", "seg_width")
+        ).alias("_a1"),
         F.first("page_width").alias("page_width"),
         F.first("page_height").alias("page_height"),
+    )
+
+    def _argmax(field):
+        """max over distinct values v of struct(w=sum width, nfs=-first
+        seg, val=v) — identical ordering to the window formulation
+        (width desc, first-seen seg asc; val never compared because nfs
+        is unique per value group)."""
+        grp = lambda v: F.filter(F.col("_a1"), lambda s: s[field].eqNullSafe(v))  # noqa: E731
+        return F.array_max(
+            F.transform(
+                F.array_distinct(F.transform("_a1", lambda s: s[field])),
+                lambda v: F.struct(
+                    F.aggregate(
+                        grp(v), F.lit(0.0), lambda a, s: a + s["seg_width"]
+                    ).alias("w"),
+                    (-F.array_min(F.transform(grp(v), lambda s: s["seg_id"]))).alias(
+                        "nfs"
+                    ),
+                    v.alias("val"),
+                ),
+            )
+        )
+
+    lines = lines.withColumn("_best_size", _argmax("rounded_size")).withColumn(
+        "_best_font", _argmax("font")
     )
 
     def cov(best):

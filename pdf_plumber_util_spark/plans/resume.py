@@ -61,28 +61,27 @@ def _list_json(spark: SparkSession, dir_path: str) -> list[str]:
 
 
 def _read_text(spark: SparkSession, path: str) -> str:
-    fs, hpath, _ = _fs(spark, path)
+    # chunked read into a JVM byte[] buffer: the round-2 form pulled ONE
+    # byte per py4j round-trip (ADVICE r2) — pathological past a few KB
+    fs, hpath, jvm = _fs(spark, path)
     stream = fs.open(hpath)
     try:
-        chunks = []
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            chunks.append(b)
-        return bytes(chunks).decode("utf-8")
+        buf = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, buf, 8192, False)
+        return bytes(buf.toByteArray()).decode("utf-8")
     finally:
         stream.close()
 
 
 def _write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
-    """Write via a _tmp_ sibling + rename (the FS-level publish step)."""
+    """Write via a _tmp_ sibling + rename (the FS-level publish step).
+
+    Note: no fs.setWriteChecksum here — the FileSystem instance comes from
+    the JVM-wide cache, so flipping it would disable checksums for every
+    other user of the same FS (ADVICE r2). Checksum FSes may leave .crc
+    siblings; _list_json filters to *.json so they're inert.
+    """
     fs, hpath, jvm = _fs(spark, path)
-    try:
-        # keep the sidecar dir clean of .crc siblings on checksum FSes
-        fs.setWriteChecksum(False)
-    except Exception:
-        pass
     parent = hpath.getParent()
     fs.mkdirs(parent)
     tmp = jvm.org.apache.hadoop.fs.Path(parent, "_tmp_" + hpath.getName())

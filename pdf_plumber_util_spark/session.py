@@ -34,18 +34,42 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        # Pin the initial heap to the max and pre-touch it: Spark only
-        # passes -Xmx, so the heap otherwise grows from a small initial
-        # size under G1's adaptive ergonomics for the first minutes of a
-        # job — measured as a 1.3-1.4x inflated first pass whose length
-        # scales with allocation rate (worse at higher parallelism). At
-        # cluster scale the same flags go on executor JVMs.
-        .config(
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    # Pin the initial heap to the max and pre-touch it: Spark only passes
+    # -Xmx, so the heap otherwise grows from a small initial size under
+    # G1's adaptive ergonomics for the first minutes of a job — measured
+    # as a 1.3-1.4x inflated first pass whose length scales with
+    # allocation rate (worse at higher parallelism). At cluster scale the
+    # same flags go on executor JVMs. Committing the full heap up front
+    # can fail on small hosts (CI runners/laptops), so it auto-disables
+    # unless MemAvailable comfortably covers the heap; SPARK_GRAFT_PRETOUCH
+    # =1/0 forces it either way. Like every config here, it only takes
+    # effect for the JVM-creating call — getOrCreate() reusing a live
+    # session ignores it.
+    if _pretouch_ok(os.environ.get("SPARK_DRIVER_MEM", "8g")):
+        builder = builder.config(
             "spark.driver.extraJavaOptions",
             "-Xms" + os.environ.get("SPARK_DRIVER_MEM", "8g")
             + " -XX:+AlwaysPreTouch",
         )
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-    )
     return builder.getOrCreate()
+
+
+def _pretouch_ok(heap: str) -> bool:
+    forced = os.environ.get("SPARK_GRAFT_PRETOUCH")
+    if forced is not None:
+        return forced != "0"
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(heap[-1].lower())
+    heap_bytes = int(heap[:-1]) * mult if mult else int(heap)
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail = int(line.split()[1]) * 1024
+                    # 1.25x margin: the JVM needs metaspace/stacks too
+                    return avail > heap_bytes * 1.25
+    except OSError:
+        pass
+    return False

@@ -14,6 +14,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 def spark():
     s = get_spark(app_name="tests", cores=8, shuffle_partitions=8)
     yield s
+    from pdf_plumber_util_spark.contract import clear_shared_lines
+
+    clear_shared_lines()
 
 
 @pytest.fixture(scope="session")

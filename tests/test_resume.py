@@ -31,7 +31,10 @@ def test_resume_skips_committed(spark, tmp_path):
 
     # simulate a crash after the first bucket: drop all but one marker
     sidecar = os.path.join(out, "_sidecar")
-    keep = sorted(os.listdir(sidecar))[0]
+    # markers only — local checksum FS also leaves .crc siblings, which
+    # the engine ignores (_list_json filters to *.json)
+    markers = sorted(f for f in os.listdir(sidecar) if f.endswith(".json"))
+    keep = markers[0]
     kept_bucket = json.load(open(os.path.join(sidecar, keep)))[BUCKET_COL]
     for f in os.listdir(sidecar):
         if f != keep:

@@ -275,3 +275,49 @@ def test_token_counts_bpe_slot(spark, sf_dir):
     else:
         assert text_analysis.token_counts_bpe(docs).count() == docs.count()
     assert text_analysis.token_counts(docs).count() == docs.count()
+
+
+def test_lsh_band_key_lexicographic_for_two_digit_seeds(spark, sf_dir):
+    """Band keys must reproduce the round-1 formulation (lexicographically
+    sorted 's:hash' strings) for EVERY config, including bands whose seeds
+    cross 10 where seed order and lexicographic order diverge
+    (ADVICE r2). Pure-Python twin over a tiny corpus."""
+    import hashlib
+    import re
+
+    from pdf_plumber_util_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i} zeta", "en") for i in range(5)],
+        "doc_id long, text string, lang string",
+    )
+    num_hashes, band_size = 16, 8  # band 1 holds seeds 8..15
+    got = {
+        (r["doc_id"], r["band_idx"]): r["band_key"]
+        for r in dedup.lsh_bands(docs, num_hashes, band_size).collect()
+    }
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    for row in docs.collect():
+        toks = norm(row["text"]).split(" ")
+        shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        mins = [
+            min(
+                hashlib.md5(f"{s}:{sh}".encode()).hexdigest() for sh in shingles
+            )
+            for s in range(num_hashes)
+        ]
+        for b in range(num_hashes // band_size):
+            parts = sorted(
+                f"{s}:{mins[s]}"
+                for s in range(b * band_size, (b + 1) * band_size)
+            )
+            want = hashlib.md5("|".join(parts).encode()).hexdigest()
+            assert got[(row["doc_id"], b)] == want
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.lsh_bands(docs, num_hashes=7, band_size=2)

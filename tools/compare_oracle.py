@@ -90,6 +90,9 @@ def main() -> int:
             failures += 1
             continue
         print(f"PASS {name}: {len(got)} rows, {len(got.columns)} cols")
+    from pdf_plumber_util_spark.contract import clear_shared_lines
+
+    clear_shared_lines()
     return 1 if failures else 0
 
 
