@@ -77,8 +77,8 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check (pair count depends on minhash collisions; values
-    # verified indirectly through q_minhash_bands)
+    """d5: fully deterministic (md5 band keys -> self-join), so it carries
+    a direct DuckDB oracle (VERDICT r2 'What's wrong #3')."""
     return dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -93,9 +93,25 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate path: rows-only (bucket membership is the contract)
+    # approximate path: rows-only (bucket membership is the contract);
+    # the machinery itself is value-pinned by s2b below
     return similarity.bucketed_topk(
         load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=5
+    )
+
+
+def q_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s2b: the bucketed ANN with n_planes=0 (one global bucket) is
+    exhaustive by construction and must equal brute-force cosine top-k —
+    the same value-pin trick as s3's nprobe == n_cells, so the s1 oracle
+    SQL checks the whole bucketed-join machinery."""
+    out = similarity.bucketed_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=5,
+        n_planes=0,
+    )
+    return out.select(
+        "query_id", "rank", "vec_id",
+        (py_round(F.col("cosine") * 1e6) / 1e6).alias("cosine_r"),
     )
 
 
@@ -425,6 +441,7 @@ EXTRA_QUERIES = {
     "d5_lsh_pairs": q_lsh_pairs,
     "s1_cosine_topk": q_cosine_topk,
     "s2_ann_bucketed": q_ann_bucketed,
+    "s2b_ann_exhaustive": q_ann_exhaustive,
     "s3_ivf_topk": q_ivf_topk,
     "e1_events_hourly": q_events_hourly,
     "e2_events_sessions": q_events_sessions,
@@ -853,6 +870,99 @@ SELECT url, page, 'tail' AS part FROM tail WHERE hr <= CEIL(tn * 0.10)
 # exhaustive-probe IVF == brute force, so it shares s1's oracle verbatim
 EXTRA_ORACLES["s3_ivf_topk"] = EXTRA_ORACLES["s1_cosine_topk"]
 
+# single-bucket (n_planes=0) bucketed ANN is exhaustive -> also s1's oracle
+EXTRA_ORACLES["s2b_ann_exhaustive"] = EXTRA_ORACLES["s1_cosine_topk"]
+
+# d5: deterministic band self-join — value-oracled end to end (the bands
+# CTE repeats the d2 oracle verbatim, then pairs = shared-band equi-join)
+EXTRA_ORACLES["d5_lsh_pairs"] = _DOCS_TOKS_SQL + r"""
+, seeded AS (
+  SELECT doc_id, s.seed,
+    MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS min_hash
+  FROM shingles, generate_series(0, 7) AS s(seed)
+  GROUP BY doc_id, s.seed
+), bands AS (
+  SELECT doc_id, CAST(seed // 2 AS BIGINT) AS band_idx,
+    md5(STRING_AGG(CAST(seed AS VARCHAR) || ':' || min_hash, '|' ORDER BY seed)) AS band_key
+  FROM seeded GROUP BY doc_id, seed // 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(COUNT(*) AS BIGINT) AS shared_bands
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+# d8: the composed near-dup scale path (bands -> candidates -> df-capped
+# Jaccard verify -> connected-component canonical). The oracle repeats the
+# d5 band/pair chain, then unrolls min-label propagation for _CC_ROUNDS
+# rounds — a fixpoint once every dup-cluster diameter <= _CC_ROUNDS, which
+# the synthetic corpus satisfies (Spark side iterates to convergence, so
+# extra rounds are idempotent).
+_CC_ROUNDS = 5
+
+
+def q_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.near_dup_pipeline(load_table(spark, sf_dir, "documents"))
+
+
+def _near_dup_oracle() -> str:
+    rounds = ""
+    for i in range(_CC_ROUNDS):
+        rounds += f"""
+, l{i + 1} AS (
+  SELECT l.doc_id, LEAST(l.rep, COALESCE(MIN(r.rep), l.rep)) AS rep
+  FROM l{i} l
+  LEFT JOIN edges e ON e.src = l.doc_id
+  LEFT JOIN l{i} r ON r.doc_id = e.dst
+  GROUP BY l.doc_id, l.rep
+)"""
+    return _DOCS_TOKS_SQL + r"""
+, seeded AS (
+  SELECT doc_id, s.seed,
+    MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS min_hash
+  FROM shingles, generate_series(0, 7) AS s(seed)
+  GROUP BY doc_id, s.seed
+), bands AS (
+  SELECT doc_id, CAST(seed // 2 AS BIGINT) AS band_idx,
+    md5(STRING_AGG(CAST(seed AS VARCHAR) || ':' || min_hash, '|' ORDER BY seed)) AS band_key
+  FROM seeded GROUP BY doc_id, seed // 2
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+    AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+), capped AS (
+  SELECT s.* FROM shingles s JOIN (
+    SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 1000
+  ) f USING (shingle)
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN capped a ON a.doc_id = c.doc_a
+  JOIN capped b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+), verified AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+), l0 AS (
+  SELECT doc_id, doc_id AS rep FROM documents
+)""" + rounds + f"""
+SELECT doc_id, rep AS canonical_id, rep < doc_id AS is_duplicate
+FROM l{_CC_ROUNDS}
+"""
+
 
 # ------------------------------------------------- round-1 late additions
 
@@ -1031,7 +1141,10 @@ EXTRA_QUERIES.update({
     "r4_match_groups": q_match_groups,
     "t3_fingerprints": q_fingerprints,
     "t4_winnowing": q_winnowing,
+    "d8_near_dup_pipeline": q_near_dup_pipeline,
 })
+
+EXTRA_ORACLES["d8_near_dup_pipeline"] = _near_dup_oracle()
 
 EXTRA_ORACLES.update({
     "a16_scan_statistics": _LINES_SQL + r"""

@@ -345,15 +345,60 @@ def assemble_lines(
             raise ValueError("segments lack page dims and no page_dims given")
         segs = segs.join(page_dims, ["url", "page"], "left")
 
-    enriched = _with_o2_columns(segs)
+    return _assemble_lines_windows(segs)
 
-    # A1 collapsed into the line aggregate (round-2 flagship-regression
-    # fix): the previous form added TWO extra WindowExec sorts of the whole
-    # segment stream — partitionBy (..., rounded_size) and (..., font) —
-    # just to compute per-value width sums. Lines have a handful of
-    # segments, so the argmax is computed post-aggregation with
-    # higher-order functions over one collected struct array instead:
-    # O(k * distinct) per line, zero extra sorts, same single-pass plan.
+
+def drop_blank_lines(lines: DataFrame) -> DataFrame:
+    """P1 (extractor.py:500-585): remove blank lines, re-derive both gaps
+    from nearest non-blank neighbours, renumber (original kept)."""
+    kept = lines.filter(F.regexp_replace("text", r"(?U)^\s+|\s+$", "") != "")
+    wp = Window.partitionBy("url", "page").orderBy("line_id")
+    return (
+        kept.withColumn("original_line_number", F.col("line_number"))
+        .withColumn("line_number", F.row_number().over(wp))
+        .withColumn(
+            "gap_before",
+            F.when(F.col("line_number") == 1, F.col("bbox")["top"]).otherwise(
+                F.greatest(
+                    F.col("bbox")["top"] - F.lag(F.col("bbox")["bottom"]).over(wp),
+                    F.lit(0.0),
+                )
+            ),
+        )
+        .withColumn(
+            "gap_after",
+            F.when(
+                F.lead(F.col("bbox")["top"]).over(wp).isNotNull(),
+                F.greatest(
+                    F.lead(F.col("bbox")["top"]).over(wp) - F.col("bbox")["bottom"],
+                    F.lit(0.0),
+                ),
+            ).otherwise(
+                F.greatest(F.col("page_height") - F.col("bbox")["bottom"], F.lit(0.0))
+            ),
+        )
+    )
+
+
+def _assemble_lines_windows(segs: DataFrame) -> DataFrame:
+    """A1 via per-size/per-font window sums feeding the line aggregate.
+
+    Measured decision (round 3, interleaved A/B at sf0.1, local[32]): the
+    two extra WindowExec sorts are CHEAPER than computing the argmax from
+    a collected struct array with higher-order functions — HOF lambdas
+    are interpreted per element, and the synthetic words table averages
+    ~24 segments/line (windows 7.87s vs sorted-fold 8.75s median; equal
+    on the sparse html path). Both extra windows extend the same
+    (url, page) hash partitioning, so they cost sorts, not shuffles."""
+    enriched = _with_o2_columns(segs)
+    size_w = Window.partitionBy("url", "page", "line_id", "rounded_size")
+    font_w = Window.partitionBy("url", "page", "line_id", "font")
+    enriched = (
+        enriched.withColumn("_w_size", F.sum("seg_width").over(size_w))
+        .withColumn("_fs_size", F.min("seg_id").over(size_w))
+        .withColumn("_w_font", F.sum("seg_width").over(font_w))
+        .withColumn("_fs_font", F.min("seg_id").over(font_w))
+    )
     lines = enriched.groupBy("url", "page", "line_id").agg(
         _parts_agg().alias("_parts"),
         _info_agg().alias("_info"),
@@ -362,36 +407,22 @@ def assemble_lines(
         F.max(F.col("bbox")["x1"]).alias("_bx1"),
         F.max(F.col("bbox")["bottom"]).alias("_bbot"),
         F.sum("seg_width").alias("_total_w"),
-        F.collect_list(
-            F.struct("seg_id", "rounded_size", "font", "seg_width")
-        ).alias("_a1"),
+        F.max(
+            F.struct(
+                F.col("_w_size").alias("w"),
+                (-F.col("_fs_size")).alias("nfs"),
+                F.col("rounded_size").alias("val"),
+            )
+        ).alias("_best_size"),
+        F.max(
+            F.struct(
+                F.col("_w_font").alias("w"),
+                (-F.col("_fs_font")).alias("nfs"),
+                F.col("font").alias("val"),
+            )
+        ).alias("_best_font"),
         F.first("page_width").alias("page_width"),
         F.first("page_height").alias("page_height"),
-    )
-
-    def _argmax(field):
-        """max over distinct values v of struct(w=sum width, nfs=-first
-        seg, val=v) — identical ordering to the window formulation
-        (width desc, first-seen seg asc; val never compared because nfs
-        is unique per value group)."""
-        grp = lambda v: F.filter(F.col("_a1"), lambda s: s[field].eqNullSafe(v))  # noqa: E731
-        return F.array_max(
-            F.transform(
-                F.array_distinct(F.transform("_a1", lambda s: s[field])),
-                lambda v: F.struct(
-                    F.aggregate(
-                        grp(v), F.lit(0.0), lambda a, s: a + s["seg_width"]
-                    ).alias("w"),
-                    (-F.array_min(F.transform(grp(v), lambda s: s["seg_id"]))).alias(
-                        "nfs"
-                    ),
-                    v.alias("val"),
-                ),
-            )
-        )
-
-    lines = lines.withColumn("_best_size", _argmax("rounded_size")).withColumn(
-        "_best_font", _argmax("font")
     )
 
     def cov(best):
@@ -420,43 +451,9 @@ def assemble_lines(
         "page_width",
         "page_height",
     )
-
-    # --- W1/W2 gaps + line numbering (extractor.py:277-330)
     wp = Window.partitionBy("url", "page").orderBy("line_id")
     return (
         lines.withColumn("line_number", F.row_number().over(wp))
-        .withColumn(
-            "gap_before",
-            F.when(F.col("line_number") == 1, F.col("bbox")["top"]).otherwise(
-                F.greatest(
-                    F.col("bbox")["top"] - F.lag(F.col("bbox")["bottom"]).over(wp),
-                    F.lit(0.0),
-                )
-            ),
-        )
-        .withColumn(
-            "gap_after",
-            F.when(
-                F.lead(F.col("bbox")["top"]).over(wp).isNotNull(),
-                F.greatest(
-                    F.lead(F.col("bbox")["top"]).over(wp) - F.col("bbox")["bottom"],
-                    F.lit(0.0),
-                ),
-            ).otherwise(
-                F.greatest(F.col("page_height") - F.col("bbox")["bottom"], F.lit(0.0))
-            ),
-        )
-    )
-
-
-def drop_blank_lines(lines: DataFrame) -> DataFrame:
-    """P1 (extractor.py:500-585): remove blank lines, re-derive both gaps
-    from nearest non-blank neighbours, renumber (original kept)."""
-    kept = lines.filter(F.regexp_replace("text", r"(?U)^\s+|\s+$", "") != "")
-    wp = Window.partitionBy("url", "page").orderBy("line_id")
-    return (
-        kept.withColumn("original_line_number", F.col("line_number"))
-        .withColumn("line_number", F.row_number().over(wp))
         .withColumn(
             "gap_before",
             F.when(F.col("line_number") == 1, F.col("bbox")["top"]).otherwise(

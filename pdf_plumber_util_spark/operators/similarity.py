@@ -71,7 +71,14 @@ def hyperplane_buckets(emb: DataFrame, n_planes: int = 8) -> DataFrame:
         s = F.aggregate(comp, F.lit(0.0), lambda acc, v: acc + v)
         return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
 
-    bucket = F.concat(*[plane_bit(p) for p in range(n_planes)])
+    # n_planes=0 -> one global bucket: the bucketed search degenerates to
+    # exhaustive and must equal cosine_topk exactly (the value pin used by
+    # the s2b oracle, mirroring the s3 nprobe==n_cells trick)
+    bucket = (
+        F.concat(*[plane_bit(p) for p in range(n_planes)])
+        if n_planes
+        else F.lit("")
+    )
     return base.select("vec_id", bucket.alias("bucket"), "_v", "_norm")
 
 

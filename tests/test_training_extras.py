@@ -321,3 +321,37 @@ def test_lsh_band_key_lexicographic_for_two_digit_seeds(spark, sf_dir):
 
     with pytest.raises(ValueError):
         dedup.lsh_bands(docs, num_hashes=7, band_size=2)
+
+
+def test_near_dup_pipeline_planted_duplicates(spark):
+    """End-to-end near-dup composition on a corpus with planted near-dups:
+    the three mutated copies of doc 0 collapse onto canonical 0 (including
+    doc 3, which only chains through doc 1 — exercises the CC propagation),
+    while the unrelated docs stay their own canonicals."""
+    from pdf_plumber_util_spark.operators import dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest past the river stones")
+    corpus = [
+        (0, base),
+        (1, base.replace("lazy", "sleepy")),            # near-dup of 0
+        (2, base.replace("quick", "rapid")),            # near-dup of 0
+        (3, base.replace("lazy", "sleepy").replace("green", "blue")),  # chains via 1
+        (4, "completely different text about spark dataframe shuffles "
+            "and partitioning strategies for large scale analytics jobs"),
+        (5, "yet another unrelated document mentioning minhash banding "
+            "and jaccard verification over shingled token streams today"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in corpus], "doc_id long, text string, lang string"
+    )
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+        for r in dedup.near_dup_pipeline(docs, threshold=0.4).collect()
+    }
+    assert out[0] == (0, False)
+    assert out[1] == (0, True)
+    assert out[2] == (0, True)
+    assert out[3] == (0, True)
+    assert out[4] == (4, False)
+    assert out[5] == (5, False)
