@@ -36,6 +36,12 @@ class EngineConfig:
     # page geometry defaults for the synthetic webtext renderer
     page_width: float = 612.0
     page_height: float = 792.0
+    # giant-document guard: cap on assembled body chars per url (None =
+    # exact/uncapped). At 10^12-doc scale a pathological multi-GB document
+    # would otherwise concentrate its whole string in one reduce task;
+    # with the cap, pages past the cumulative limit are dropped before
+    # assembly and the row is flagged body_truncated.
+    max_body_chars: int | None = None
 
     @property
     def header_zone_pt(self) -> float:

@@ -188,30 +188,85 @@ def final_boundaries(candidates: DataFrame, page_heights: DataFrame) -> DataFram
     )
 
 
-def body_text(blocks: DataFrame, boundaries: DataFrame) -> DataFrame:
+def body_text(blocks: DataFrame, boundaries: DataFrame,
+              max_body_chars: int | None = None) -> DataFrame:
     """Flagship main-content assembly: blocks fully inside the open content
     window (top >= header_bottom, bottom <= footer_top), pages in order,
     blocks joined by blank lines. Returns (url, body_text, n_blocks_kept,
-    n_blocks_dropped, chars_extracted) — the metrics feed the north-rule
-    sidecar."""
+    n_blocks_dropped, chars_extracted, body_truncated) — the metrics feed
+    the north-rule sidecar.
+
+    Giant-document guard (VERDICT r2 #6): assembly is TWO-LEVEL — blocks
+    first aggregate to page texts (each buffer bounded by one page's
+    content), then page texts to the document string — so the per-element
+    unit in the final reduce is a page, not a block. Emitting one string
+    per url still concentrates that doc's text in one task; that tail is
+    bounded by ``max_body_chars``: pages whose cumulative length passes
+    the cap are dropped BEFORE assembly (the final string is built from at
+    most cap + one page of input) and the row is flagged
+    ``body_truncated``. Default None keeps exact, uncapped output.
+    """
     joined = blocks.join(boundaries, "url", "left")
     kept_flag = (F.col("bbox")["top"] >= F.coalesce("header_bottom", F.lit(0.0))) & (
         F.col("bbox")["bottom"] <= F.coalesce("footer_top", F.lit(1e18))
     )
     tagged = joined.withColumn("_keep", kept_flag)
-    out = tagged.groupBy("url").agg(
+
+    # level 1: page-bounded buffers. Empty page texts (no kept blocks)
+    # are nulled out below so the doc-level join stays byte-identical to
+    # a flat block join.
+    pages = tagged.groupBy("url", "page").agg(
         F.concat_ws(
             "\n\n",
             F.transform(
                 F.array_sort(
                     F.collect_list(
-                        F.when(F.col("_keep"), F.struct("page", "block_id", "text"))
+                        F.when(F.col("_keep"), F.struct("block_id", "text"))
                     )
                 ),
                 lambda b: b["text"],
             ),
-        ).alias("body_text"),
-        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_blocks_kept"),
-        F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_blocks_dropped"),
+        ).alias("_page_text"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("_kept"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("_dropped"),
     )
+
+    truncated = F.lit(False)
+    if max_body_chars is not None:
+        wp = Window.partitionBy("url").orderBy("page")
+        plen = F.length("_page_text") + 2  # +2 for the joining blank line
+        pages = (
+            pages.withColumn("_cum", F.sum(plen).over(wp))
+            .withColumn("_over", F.col("_cum") - plen >= max_body_chars)
+            .withColumn(
+                "_page_text",
+                F.when(F.col("_over"), None).otherwise(F.col("_page_text")),
+            )
+        )
+        truncated = F.max("_over")
+
+    # level 2: one element per page
+    out = pages.groupBy("url").agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_page_text") != "",
+                            F.struct("page", F.col("_page_text").alias("t")),
+                        )
+                    )
+                ),
+                lambda p: p["t"],
+            ),
+        ).alias("body_text"),
+        F.sum("_kept").alias("n_blocks_kept"),
+        F.sum("_dropped").alias("n_blocks_dropped"),
+        truncated.alias("body_truncated"),
+    )
+    if max_body_chars is not None:
+        out = out.withColumn(
+            "body_text", F.substring("body_text", 1, max_body_chars)
+        )
     return out.withColumn("chars_extracted", F.length("body_text"))

@@ -154,7 +154,7 @@ def extract_documents(pages: DataFrame, cfg: EngineConfig = DEFAULT,
         F.countDistinct("page").alias("n_pages"),
     )
     bounds = final_boundaries(cands, doc_stats_df.select("url", "doc_bottom"))
-    body = body_text(blocks, bounds)
+    body = body_text(blocks, bounds, max_body_chars=cfg.max_body_chars)
     return body.join(bounds, "url", "left").join(
         doc_stats_df.drop("doc_bottom"), "url", "left"
     )

@@ -183,3 +183,42 @@ def test_minhash_signature_zero_exchanges(spark):
     )
     plan = _plan(dedup.lsh_bands(docs))
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_giant_document_body_cap(spark):
+    """max_body_chars bounds the assembled string for a 100x outlier doc:
+    capped output is a prefix of the exact output, flagged truncated;
+    normal docs are byte-identical with and without the cap."""
+    from dataclasses import replace
+
+    from pdf_plumber_util_spark.config import DEFAULT
+    from pdf_plumber_util_spark.plans.extract import extract_documents
+    from pdf_plumber_util_spark.sources.pages import build_doc
+
+    docs = [build_doc(i) for i in range(4)]
+    base_html = docs[0]["html"].decode()
+    body = base_html.split("</header>", 1)[-1]
+    giant = "<header>G</header>" + body * 100
+    rows = [(d["url"], d["html"]) for d in docs[1:]]
+    rows.append(("giant-doc", giant.encode()))
+    pages = spark.createDataFrame(rows, "url string, html binary")
+
+    exact = {r["url"]: r for r in extract_documents(pages).collect()}
+    cap = 20000
+    capped = {
+        r["url"]: r
+        for r in extract_documents(
+            pages, cfg=replace(DEFAULT, max_body_chars=cap)
+        ).collect()
+    }
+    g_exact, g_cap = exact["giant-doc"], capped["giant-doc"]
+    assert g_exact["chars_extracted"] > 5 * cap
+    assert not g_exact["body_truncated"]
+    assert g_cap["body_truncated"]
+    assert g_cap["chars_extracted"] <= cap
+    assert g_exact["body_text"].startswith(g_cap["body_text"])
+    for u in exact:
+        if u == "giant-doc":
+            continue
+        assert exact[u]["body_text"] == capped[u]["body_text"]
+        assert not exact[u]["body_truncated"]
