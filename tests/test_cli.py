@@ -1,0 +1,67 @@
+"""CLI parity smoke tests (extract / analyze / process / scan) on a tiny
+synthetic corpus — each subcommand composes the tested plans, so these
+assert wiring + artifacts, not semantics (covered by the oracle suite)."""
+
+import json
+import os
+
+from pdf_plumber_util_spark import cli
+from pdf_plumber_util_spark.sources.pages import synth_pages
+
+
+def _write_pages(spark, tmp_path, n=6):
+    path = str(tmp_path / "pages")
+    synth_pages(spark, n).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_cli_extract_analyze_scan_roundtrip(spark, tmp_path, capsys):
+    pages = _write_pages(spark, tmp_path)
+    out = str(tmp_path / "out")
+
+    assert cli.main(["extract", "--input", pages, "--output", out,
+                     "--cores", "8", "--profile", "technical"]) == 0
+    arts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    lines_dir = arts["lines"]
+    assert spark.read.parquet(lines_dir).count() > 0
+    assert spark.read.parquet(arts["info"]).count() == 6
+
+    assert cli.main(["analyze", "--lines", lines_dir, "--output", out,
+                     "--cores", "8"]) == 0
+    arts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert spark.read.parquet(arts["rules"]).count() > 0
+    report = open(arts["report"]).read()
+    assert "Contextual spacing rules" in report and "Content window" in report
+
+    assert cli.main(["scan", "--lines", lines_dir, "--output", out,
+                     "--pattern-set", "section_patterns", "--cores", "8"]) == 0
+    arts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.isdir(arts["matches"])
+    assert spark.read.parquet(arts["stats"]).columns  # stage written
+
+
+def test_cli_process(spark, tmp_path, capsys):
+    pages = _write_pages(spark, tmp_path)
+    out = str(tmp_path / "out2")
+    assert cli.main(["process", "--input", pages, "--output", out,
+                     "--cores", "8"]) == 0
+    arts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert arts["docs"] == 6
+    body = spark.read.parquet(arts["body"])
+    rows = body.collect()
+    assert all(r["chars_extracted"] > 0 for r in rows)
+
+
+def test_cli_page_range_and_bad_profile(spark, tmp_path, capsys):
+    import pytest
+
+    pages = _write_pages(spark, tmp_path)
+    out = str(tmp_path / "out3")
+    assert cli.main(["extract", "--input", pages, "--output", out,
+                     "--page-range", "1", "--cores", "8"]) == 0
+    arts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    pgs = spark.read.parquet(arts["lines"]).select("page").distinct().collect()
+    assert [r["page"] for r in pgs] == [1]
+    with pytest.raises(SystemExit):
+        cli.main(["extract", "--input", pages, "--output", out,
+                  "--profile", "nope"])
