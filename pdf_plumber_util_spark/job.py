@@ -26,7 +26,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# direct `python pdf_plumber_util_spark/job.py` puts the package dir (not
+# the repo root) on sys.path; spark-submit --py-files has the same quirk
+# when the zip isn't also on the driver path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:

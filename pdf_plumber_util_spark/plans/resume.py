@@ -143,6 +143,14 @@ def run_resumable(pages: DataFrame, spark: SparkSession, out_dir: str,
     sidecar_dir = f"{out_dir}/{SIDECAR}"
     done = set(committed_partitions(spark, sidecar_dir))
     todo = resume_filter(pages, spark, sidecar_dir, n_buckets)
+    # per-bucket input counts (url-sized aggregate) — the parse-failure
+    # denominator: a doc that yields zero words (malformed page isolated
+    # by the tokenizer) produces no output row, so
+    # parse_failures = inputs - extracted per bucket
+    input_counts = {
+        int(r[BUCKET_COL]): r["n_in"]
+        for r in todo.groupBy(BUCKET_COL).agg(F.count("*").alias("n_in")).collect()
+    }
     docs = with_bucket(extract_documents(todo.drop(BUCKET_COL)), n_buckets)
 
     t0 = time.time()
@@ -157,30 +165,36 @@ def run_resumable(pages: DataFrame, spark: SparkSession, out_dir: str,
     # audit: read back what actually landed, then publish
     try:
         landed = spark.read.parquet(out_dir)
-    except Exception:  # nothing ever landed (empty corpus, all committed)
-        return []
-    fresh = landed
-    if done:
-        fresh = landed.filter(~F.col(BUCKET_COL).isin([int(b) for b in done]))
-    stats = (
-        fresh.groupBy(BUCKET_COL)
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("chars_extracted").alias("chars"),
-            F.sum("n_blocks_kept").alias("blocks_kept"),
-            F.sum("n_blocks_dropped").alias("blocks_dropped"),
+        fresh = landed
+        if done:
+            fresh = landed.filter(~F.col(BUCKET_COL).isin([int(b) for b in done]))
+        stats = (
+            fresh.groupBy(BUCKET_COL)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("chars_extracted").alias("chars"),
+                F.sum("n_blocks_kept").alias("blocks_kept"),
+                F.sum("n_blocks_dropped").alias("blocks_dropped"),
+            )
+            .collect()
         )
-        .collect()
-    )
+    except Exception:  # nothing ever landed (empty corpus / all failed)
+        stats = []
+    per_bucket = {int(r[BUCKET_COL]): r.asDict() for r in stats}
     metas = []
-    for r in sorted(stats, key=lambda r: r[BUCKET_COL]):
+    # every input bucket commits — including a bucket whose docs ALL
+    # parse-failed (zero landed rows): without its marker, resume would
+    # reprocess the poison bucket forever
+    for b in sorted(input_counts):
+        r = per_bucket.get(b, {})
+        n_docs = int(r.get("n_docs", 0))
         meta = {
-            BUCKET_COL: int(r[BUCKET_COL]),
-            "n_docs": r["n_docs"],
-            "chars_extracted": int(r["chars"] or 0),
-            "blocks_kept": int(r["blocks_kept"] or 0),
-            "blocks_dropped": int(r["blocks_dropped"] or 0),
-            "parse_failures": 0,
+            BUCKET_COL: b,
+            "n_docs": n_docs,
+            "chars_extracted": int(r.get("chars") or 0),
+            "blocks_kept": int(r.get("blocks_kept") or 0),
+            "blocks_dropped": int(r.get("blocks_dropped") or 0),
+            "parse_failures": max(0, input_counts[b] - n_docs),
             "wall_sec": wall,  # single landing job; shared across buckets
         }
         publish_bucket(spark, sidecar_dir, meta)

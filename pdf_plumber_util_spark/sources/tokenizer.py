@@ -66,7 +66,15 @@ def _flat_tokenize(batches):
         rows: list[tuple] = []
         urls: list[str] = []
         for url, html in zip(pdf["url"], pdf["html"]):
-            ws = layout_html_rows(html.decode("utf-8", "replace"))
+            # per-document failure isolation: at 10^12 docs a malformed
+            # page must cost its own row, never the task — a doc whose
+            # parse throws emits zero words and is counted as a parse
+            # failure by the resumable audit (input - extracted per
+            # bucket, plans/resume.py)
+            try:
+                ws = layout_html_rows(html.decode("utf-8", "replace"))
+            except Exception:
+                continue
             rows.extend(ws)
             urls.extend([url] * len(ws))
         cols = list(zip(*rows)) if rows else [[] for _ in WORD_FIELDS]

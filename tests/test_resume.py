@@ -58,3 +58,28 @@ def test_resume_filter_empty_when_all_committed(spark, tmp_path):
     run_resumable(pages, spark, out, n_buckets=2)
     remaining = resume_filter(pages, spark, os.path.join(out, "_sidecar"), 2)
     assert remaining.count() == 0
+
+
+def test_parse_failures_counted_and_committed(spark, tmp_path):
+    """A doc that yields zero words (empty/broken html) is isolated by the
+    tokenizer, counted as a parse failure in its bucket's sidecar, and its
+    bucket still commits (a poison doc must not wedge resume)."""
+    out = str(tmp_path / "out3")
+    good = synth_pages(spark, 6).select("url", "html")
+    bad = spark.createDataFrame(
+        [("https://bad.example.com/empty", b""),
+         ("https://bad.example.com/junk", b"\x00\xff\xfe not html at all")],
+        "url string, html binary",
+    )
+    pages = good.unionByName(bad)
+    metas = run_resumable(pages, spark, out, n_buckets=2)
+    assert sum(m["n_docs"] for m in metas) <= 8
+    total_fail = sum(m["parse_failures"] for m in metas)
+    extracted = sum(m["n_docs"] for m in metas)
+    assert extracted + total_fail == 8
+    assert total_fail >= 1  # the empty doc can never produce words
+    # both buckets committed despite failures
+    assert sorted(m[BUCKET_COL] for m in metas) == [0, 1]
+    # resume: nothing left to do
+    remaining = resume_filter(pages, spark, os.path.join(out, "_sidecar"), 2)
+    assert remaining.count() == 0
