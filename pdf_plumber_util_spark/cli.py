@@ -101,8 +101,8 @@ def cmd_analyze(args) -> int:
         r["url"]: r.asDict()
         for r in lines.groupBy("url")
         .agg(
-            F.max_by("predominant_font", F.length("text")).alias("most_common_font"),
-            F.max_by("predominant_size", F.length("text")).alias("most_common_size"),
+            F.mode("predominant_font").alias("most_common_font"),
+            F.mode("predominant_size").alias("most_common_size"),
             F.count("*").alias("total_segments"),
         )
         .collect()

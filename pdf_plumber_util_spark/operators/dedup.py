@@ -219,6 +219,11 @@ def near_dup_pipeline(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
     round is one shuffle of the label table, never of the corpus).
     Everything upstream is candidate-bounded: the Jaccard join fans each
     candidate pair out by one side's capped shingles only.
+
+    The label table (doc_id-sized, two columns) is persisted across
+    propagation rounds so each convergence check doesn't replay the whole
+    lineage; the final round's table backs the returned DataFrame and
+    stays cached until the session drops it.
     """
     cands = lsh_candidate_pairs(docs, num_hashes, band_size, k)
     sh = doc_shingles(docs, k)
