@@ -306,7 +306,11 @@ def _lines_df(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     words = words_from_lineitem(spark, sf_dir)
     wl = assign_line_ids_window(words)
     segs = build_segments(wl)
-    lines = drop_blank_lines(assemble_lines(wl, segs, page_dims(words))).persist()
+    # proportional columns pruned from the cached fixture (only
+    # q_line_text reads them, and it rebuilds from segs directly)
+    lines = drop_blank_lines(
+        assemble_lines(wl, segs, page_dims(words), include_proportional=False)
+    ).persist()
     _SHARED_LINES[key] = (lines, segs)
     return lines, segs
 
@@ -350,9 +354,18 @@ def q_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_line_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2: normalized + proportional line text (banker space counts)."""
-    lines, _ = _lines_df(spark, sf_dir)
-    return lines.select("url", "page", "line_id", "text", "text_proportional")
+    """O2: normalized + proportional line text (banker space counts).
+
+    Built from the shared segments directly (the cached lines fixture
+    prunes the proportional columns); blank lines filtered with the same
+    stripped-empty predicate drop_blank_lines uses."""
+    from .operators.lines import line_texts_from_segments
+
+    _, segs = _lines_df(spark, sf_dir)
+    lt = line_texts_from_segments(segs)
+    return lt.filter(
+        F.regexp_replace("text", r"(?U)^\s+|\s+$", "") != ""
+    ).select("url", "page", "line_id", "text", "text_proportional")
 
 
 def q_line_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -230,10 +230,20 @@ def line_texts_from_segments(segments: DataFrame) -> DataFrame:
 # segment set stays in one pass — no filter+join) ----
 
 
-def _with_o2_columns(segments: DataFrame) -> DataFrame:
+def _with_o2_columns(segments: DataFrame, proportional: bool = True) -> DataFrame:
+    """``proportional=False`` computes only the survivor index (the one
+    running count the normalized text needs), skipping the four extra
+    running window columns that exist solely for the proportional
+    reconstruction — the flagship/process path prunes them (Spark-first
+    column pruning; `body_text` reads only the normalized text)."""
     w = Window.partitionBy("url", "page", "line_id").orderBy("seg_id")
-    prior = w.rowsBetween(Window.unboundedPreceding, -1)
     is_surv = F.col("text") != ""
+    df = segments.withColumn("_surv", is_surv).withColumn(
+        "_sidx", F.sum(F.when(is_surv, 1).otherwise(0)).over(w)
+    )
+    if not proportional:
+        return df
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
     surv_x1 = F.when(is_surv, F.col("bbox")["x1"])
     surv_size = F.when(
         is_surv,
@@ -242,13 +252,8 @@ def _with_o2_columns(segments: DataFrame) -> DataFrame:
         ),
     )
     df = (
-        segments.withColumn("_surv", is_surv)
-        .withColumn("_prev_x1", F.last(surv_x1, ignorenulls=True).over(prior))
+        df.withColumn("_prev_x1", F.last(surv_x1, ignorenulls=True).over(prior))
         .withColumn("_prev_size", F.last(surv_size, ignorenulls=True).over(prior))
-        .withColumn(
-            "_sidx",
-            F.sum(F.when(is_surv, 1).otherwise(0)).over(w),
-        )
         .withColumn(
             "_cum_len",
             F.coalesce(F.sum(F.when(is_surv, F.length("text"))).over(prior), F.lit(0)),
@@ -269,9 +274,10 @@ def _with_o2_columns(segments: DataFrame) -> DataFrame:
     )
 
 
-def _parts_agg():
+def _parts_agg(proportional: bool = True):
+    fields = ("_sidx", "text", "_nsp") if proportional else ("_sidx", "text")
     return F.array_sort(
-        F.collect_list(F.when(F.col("_surv"), F.struct("_sidx", "text", "_nsp")))
+        F.collect_list(F.when(F.col("_surv"), F.struct(*fields)))
     )
 
 
@@ -330,6 +336,7 @@ def assemble_lines(
     words_with_lines: DataFrame,
     segments: DataFrame,
     page_dims: DataFrame | None = None,
+    include_proportional: bool = True,
 ) -> DataFrame:
     """Assemble the full line records in ONE window pass over segments:
     text (O2), bbox (C5), predominant size/font + coverage (A1),
@@ -338,6 +345,14 @@ def assemble_lines(
     ``page_dims`` is only consulted when the segment table doesn't carry
     page_width/page_height columns (fixture injection); the production
     path passes dims through the tokenizer, so no join happens.
+
+    ``include_proportional=False`` omits ``text_proportional`` and
+    ``proportional_spacing_info`` (and their four running window columns
+    plus the per-line info-struct collection). The lines-stage sink keeps
+    the default — the reference's ``_lines.json`` carries those fields —
+    but consumers that never read them (the flagship body-text path, the
+    shared analysis fixture) prune them at the source, which Catalyst
+    cannot do on its own once the result is persisted.
     """
     segs = segments
     if "page_height" not in segs.columns:
@@ -345,7 +360,7 @@ def assemble_lines(
             raise ValueError("segments lack page dims and no page_dims given")
         segs = segs.join(page_dims, ["url", "page"], "left")
 
-    return _assemble_lines_windows(segs)
+    return _assemble_lines_windows(segs, include_proportional)
 
 
 def drop_blank_lines(lines: DataFrame) -> DataFrame:
@@ -380,7 +395,8 @@ def drop_blank_lines(lines: DataFrame) -> DataFrame:
     )
 
 
-def _assemble_lines_windows(segs: DataFrame) -> DataFrame:
+def _assemble_lines_windows(segs: DataFrame,
+                            include_proportional: bool = True) -> DataFrame:
     """A1 via per-size/per-font window sums feeding the line aggregate.
 
     Measured decision (round 3, interleaved A/B at sf0.1, local[32]): the
@@ -390,7 +406,7 @@ def _assemble_lines_windows(segs: DataFrame) -> DataFrame:
     ~24 segments/line (windows 7.87s vs sorted-fold 8.75s median; equal
     on the sparse html path). Both extra windows extend the same
     (url, page) hash partitioning, so they cost sorts, not shuffles."""
-    enriched = _with_o2_columns(segs)
+    enriched = _with_o2_columns(segs, proportional=include_proportional)
     size_w = Window.partitionBy("url", "page", "line_id", "rounded_size")
     font_w = Window.partitionBy("url", "page", "line_id", "font")
     enriched = (
@@ -399,9 +415,10 @@ def _assemble_lines_windows(segs: DataFrame) -> DataFrame:
         .withColumn("_w_font", F.sum("seg_width").over(font_w))
         .withColumn("_fs_font", F.min("seg_id").over(font_w))
     )
+    maybe_info = [_info_agg().alias("_info")] if include_proportional else []
     lines = enriched.groupBy("url", "page", "line_id").agg(
-        _parts_agg().alias("_parts"),
-        _info_agg().alias("_info"),
+        _parts_agg(include_proportional).alias("_parts"),
+        *maybe_info,
         F.min(F.col("bbox")["x0"]).alias("_bx0"),
         F.min(F.col("bbox")["top"]).alias("_btop"),
         F.max(F.col("bbox")["x1"]).alias("_bx1"),
@@ -431,13 +448,17 @@ def _assemble_lines_windows(segs: DataFrame) -> DataFrame:
             py_round((best["w"] / F.col("_total_w") * 100) * 10) / 10,
         ).otherwise(F.lit(0.0))
 
+    maybe_prop = (
+        [_prop_expr().alias("text_proportional"),
+         _info_expr().alias("proportional_spacing_info")]
+        if include_proportional else []
+    )
     lines = lines.select(
         "url",
         "page",
         "line_id",
         _text_expr().alias("text"),
-        _prop_expr().alias("text_proportional"),
-        _info_expr().alias("proportional_spacing_info"),
+        *maybe_prop,
         F.struct(
             F.col("_bx0").alias("x0"),
             F.col("_btop").alias("top"),

@@ -127,7 +127,10 @@ def extract_documents(pages: DataFrame, cfg: EngineConfig = DEFAULT,
     words = tokenize_pages(pages)
     wl = assign_line_ids_window(words, cfg.y_tolerance)
     segs = build_segments(wl)
-    lines = assemble_lines(wl, segs, page_dims(words))
+    # proportional columns pruned at the source: nothing downstream of
+    # the process path reads them, and persist() would otherwise force
+    # their computation (Catalyst cannot prune through a cache)
+    lines = assemble_lines(wl, segs, page_dims(words), include_proportional=False)
     # analysis consumes lines multiple times — materialize once (the
     # reference's _lines.json checkpoint between extract and analyze)
     flines = drop_blank_lines(lines).persist()
