@@ -117,11 +117,16 @@ def doc_stats(lines: DataFrame, segments: DataFrame) -> DataFrame:
 
 
 def extract_documents(pages: DataFrame, cfg: EngineConfig = DEFAULT,
-                      num_partitions: int | None = None) -> DataFrame:
+                      num_partitions: int | None = None,
+                      cache_handle: list | None = None) -> DataFrame:
     """Flagship: pages -> (url, body_text, metrics). The full `process`
     path: extract -> rules -> blocks -> boundaries -> main content.
 
-    num_partitions: opt-in salted input rebalance (see partition_pages)."""
+    num_partitions: opt-in salted input rebalance (see partition_pages).
+    cache_handle: the internal lines cache is appended to this list so
+    repeated callers (the streaming foreachBatch loop) can unpersist it
+    after their action; one-shot callers may ignore it (the cache dies
+    with the session)."""
     if num_partitions:
         pages = partition_pages(pages, num_partitions)
     words = tokenize_pages(pages)
@@ -134,6 +139,8 @@ def extract_documents(pages: DataFrame, cfg: EngineConfig = DEFAULT,
     # analysis consumes lines multiple times — materialize once (the
     # reference's _lines.json checkpoint between extract and analyze)
     flines = drop_blank_lines(lines).persist()
+    if cache_handle is not None:
+        cache_handle.append(flines)
 
     rules = contextual_spacing_rules(
         flines,

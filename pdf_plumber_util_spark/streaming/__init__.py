@@ -4,3 +4,8 @@ from .events import (  # noqa: F401
     session_stream,
     stream_extraction_metrics,
 )
+from .extraction import (  # noqa: F401
+    read_metrics,
+    stream_pages,
+    streaming_extract,
+)
