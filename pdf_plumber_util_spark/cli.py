@@ -164,6 +164,45 @@ def cmd_scan(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Corpus dedup over a documents table: exact (md5 groupBy) or the
+    composed near-dup scale path (LSH bands -> capped-Jaccard verify ->
+    connected-component canonical pick). Writes the per-doc canonical
+    map and prints cluster stats."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import exact_duplicates, near_dup_pipeline
+    from .plans.io import write_stage
+
+    spark = _spark(args.cores)
+    docs = spark.read.parquet(args.input)
+    if args.id_col != "doc_id":
+        docs = docs.withColumnRenamed(args.id_col, "doc_id")
+    if args.text_col != "text":
+        docs = docs.withColumnRenamed(args.text_col, "text")
+    if args.method == "exact":
+        out = exact_duplicates(docs)
+    else:
+        out = near_dup_pipeline(
+            docs, num_hashes=args.num_hashes, band_size=args.band_size,
+            k=args.k, threshold=args.threshold, max_df=args.max_df,
+        )
+    path = write_stage(out, args.output, args.basename, "dedup_map")
+    written = spark.read.parquet(path)
+    stats = written.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("is_duplicate").cast("long")).alias("duplicates"),
+        F.countDistinct("canonical_id").alias("clusters"),
+    ).collect()[0]
+    print(json.dumps({
+        "map": path,
+        "docs": stats["docs"],
+        "duplicates": int(stats["duplicates"] or 0),
+        "clusters": stats["clusters"],
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pdf-plumber-spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -199,6 +238,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pattern-set", default=None)
     _common(p)
     p.set_defaults(fn=cmd_scan)
+
+    p = sub.add_parser("dedup", help="documents -> canonical dedup map")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--basename", default="doc")
+    p.add_argument("--method", choices=["exact", "neardup"], default="neardup")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--num-hashes", type=int, default=8)
+    p.add_argument("--band-size", type=int, default=2)
+    p.add_argument("--k", type=int, default=3)
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--max-df", type=int, default=1000)
+    p.add_argument("--cores", type=int, default=None)
+    p.set_defaults(fn=cmd_dedup)
 
     args = ap.parse_args(argv)
     return args.fn(args)

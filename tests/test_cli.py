@@ -65,3 +65,22 @@ def test_cli_page_range_and_bad_profile(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         cli.main(["extract", "--input", pages, "--output", out,
                   "--profile", "nope"])
+
+
+def test_cli_dedup(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "outd")
+    assert cli.main(["dedup", "--input", f"{sf_dir}/documents.parquet",
+                     "--output", out, "--method", "exact",
+                     "--cores", "8"]) == 0
+    arts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert arts["docs"] > 0 and arts["clusters"] <= arts["docs"]
+    m = spark.read.parquet(arts["map"])
+    assert {"doc_id", "canonical_id", "is_duplicate"} <= set(m.columns)
+
+    assert cli.main(["dedup", "--input", f"{sf_dir}/documents.parquet",
+                     "--output", out, "--method", "neardup",
+                     "--basename", "near", "--cores", "8"]) == 0
+    arts2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert arts2["docs"] == arts["docs"]
+    # near-dup can only merge more than exact md5 identity
+    assert arts2["clusters"] <= arts["clusters"]
