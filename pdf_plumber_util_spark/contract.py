@@ -303,7 +303,9 @@ def _lines_df(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         return hit
     from .operators import assign_line_ids_window
 
-    words = words_from_lineitem(spark, sf_dir)
+    # url-hash partitioning of the word stream (plans/extract.py scale
+    # note): every downstream (url, ...)-keyed window/agg/join reuses it
+    words = words_from_lineitem(spark, sf_dir).repartition(F.col("url"))
     wl = assign_line_ids_window(words)
     segs = build_segments(wl)
     # proportional columns pruned from the cached fixture (only

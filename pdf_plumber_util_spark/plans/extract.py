@@ -3,21 +3,32 @@ paths, SURVEY.md §3, re-expressed as one Spark job).
 
 Scale design (north_rule):
   * ONE data-sized shuffle for the whole per-document pipeline: the scan +
-    tokenizer UDF + posexplode run map-side; the first (url, page) window
-    (C1 sessionization) inserts the single exchange of word records, and
-    every downstream window/groupBy/aggregation keyed by a (url, page)
-    prefix reuses that partitioning (verified by tests/test_plan_shape.py:
-    exactly one Exchange in the lines plan). Doc-level aggregates (rules,
-    boundaries, body) shuffle only line/block-sized intermediates — orders
-    of magnitude smaller than the word stream.
+    tokenizer UDF run map-side, then the word stream is hash-partitioned
+    by **url** (exactly the north-rule's url-hash partitioning). Every
+    downstream operator is keyed with a url prefix, so with
+    `requireAllClusterKeysForCoPartition=false` (session default) NOTHING
+    below the word exchange shuffles line-sized data again: the (url,
+    page) windows, the segment/line aggregations, the rules aggregation,
+    the lines<->rules join on (url, size) (both sides url-co-partitioned),
+    the block windows/aggregates, the boundary voting, and the body
+    assembly all reuse the one partitioning (verified by
+    tests/test_plan_shape.py: one Exchange in the lines plan, zero
+    exchanges in the blocks path above the lines cache). Measured at
+    8000 html docs / local[32]: 14.9s -> 12.7s end-to-end vs the
+    round-2 (url, page)-keyed exchange, and at cluster scale it removes
+    two corpus-sized shuffles (the rules join re-shuffle and the
+    post-join window re-shuffle).
   * Spark 4 note: Generate (posexplode) and FlatMapGroupsInPandas both
     erase outputPartitioning, so pre-repartitioning pages buys nothing;
     the C1 window variant (no Python stage) is the default, and the
     exact-anchor applyInPandas variant remains for pathological drift.
-  * Skew: the unit of sequential work is one document; hot hosts spread
-    naturally because the exchange hashes the full (url, page) key. Giant
-    single documents are bounded by pages-per-task; detect and split by
-    page range if a corpus has outliers (two-level doc aggregation).
+  * Skew: the unit of sequential work is one document (url-hash
+    partitioning spreads hosts; partition_pages adds explicit salting
+    for adversarial hosts upstream of the tokenizer). A giant single
+    document concentrates its window work in one task — inherent to
+    emitting one body string per url — and is bounded by the
+    max_body_chars cap in body assembly (two-level page-then-doc
+    aggregation keeps per-buffer sizes page-bounded).
   * Doc-level aggregates are tiny per url and joined back on (url, ...) —
     co-partitioned joins, no broadcast needed.
 """
@@ -75,11 +86,21 @@ def extract_lines(pages: DataFrame, cfg: EngineConfig = DEFAULT,
     num_partitions: opt-in salted input rebalance (see partition_pages)."""
     if num_partitions:
         pages = partition_pages(pages, num_partitions)
-    words = tokenize_pages(pages)
+    words = _url_partitioned_words(pages)
     wl = assign_line_ids_window(words, cfg.y_tolerance)
     segs = build_segments(wl)
     lines = assemble_lines(wl, segs, page_dims(words))
     return drop_blank_lines(lines)
+
+
+def _url_partitioned_words(pages: DataFrame) -> DataFrame:
+    """Tokenize, then install THE pipeline exchange: url-hash partitioning
+    of the word stream (module docstring: everything downstream reuses
+    it). The explicit repartition replaces the (url, page) exchange the
+    first window would otherwise insert — same rows moved, but the
+    coarser key lets every (url, ...)-keyed join below run
+    co-partitioned."""
+    return tokenize_pages(pages).repartition(F.col("url"))
 
 
 def doc_stats(lines: DataFrame, segments: DataFrame) -> DataFrame:
@@ -129,7 +150,7 @@ def extract_documents(pages: DataFrame, cfg: EngineConfig = DEFAULT,
     with the session)."""
     if num_partitions:
         pages = partition_pages(pages, num_partitions)
-    words = tokenize_pages(pages)
+    words = _url_partitioned_words(pages)
     wl = assign_line_ids_window(words, cfg.y_tolerance)
     segs = build_segments(wl)
     # proportional columns pruned at the source: nothing downstream of

@@ -30,6 +30,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # the engine's pipelines hash-partition the word stream by url and
+        # rely on every downstream join keyed (url, ...) reusing that
+        # partitioning; the default (true) forces a full-join-key
+        # re-shuffle of BOTH sides even when both are url-co-partitioned
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")

@@ -133,11 +133,50 @@ def test_salted_input_rebalance_plan(spark):
     assert parts >= 4
 
 
+def test_zero_exchange_analysis_tail(spark):
+    """The whole analysis tail must reuse the word stream's url-hash
+    partitioning: with broadcast joins disabled (the 100TB analog — the
+    rules table is url-count-sized there), the blocks plan above the
+    lines cache contains ZERO exchanges (the lines<->rules join on
+    (url, size) runs co-partitioned on url; the post-join (url, page)
+    windows reuse the same partitioning)."""
+    from pdf_plumber_util_spark.operators import (
+        assign_line_ids_window,
+        contextual_spacing_rules,
+        form_blocks,
+    )
+
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        words = tokenize_pages(synth_pages(spark, 6)).repartition(F.col("url"))
+        wl = assign_line_ids_window(words)
+        lines = drop_blank_lines(
+            assemble_lines(wl, build_segments(wl), include_proportional=False)
+        ).persist()
+        lines.count()
+        blocks = form_blocks(lines, contextual_spacing_rules(lines))
+        plan = _plan(blocks)
+        # everything above the InMemoryRelation must be exchange-free
+        above_cache = plan.split("InMemoryRelation", 1)[0]
+        n = len(re.findall(r"Exchange", above_cache))
+        assert n == 0, f"analysis tail re-shuffles ({n} exchanges):\n{above_cache[:3000]}"
+        assert "SortMergeJoin" in plan  # the rules join really is a join
+        lines.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
 def test_giant_document_bounded(spark):
     """Skew unit check: one document ~40x the median page count flows
     through the full flagship without error and with correct metrics —
-    the sequential unit is a page-bounded window chain, so a giant doc
-    costs proportional work, not failure (north-rule giant-host case)."""
+    one document is the unit of sequential work (url-hash partitioning),
+    so a giant doc costs proportional work, not failure (north-rule
+    giant-host case); its body tail is separately boundable via
+    max_body_chars (test below)."""
     from pyspark.sql import functions as F
 
     from pdf_plumber_util_spark.plans.extract import extract_documents
