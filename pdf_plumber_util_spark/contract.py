@@ -364,9 +364,11 @@ def q_line_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.lines import line_texts_from_segments
 
     _, segs = _lines_df(spark, sf_dir)
+    from .functions.text import py_strip
+
     lt = line_texts_from_segments(segs)
     return lt.filter(
-        F.regexp_replace("text", r"(?U)^\s+|\s+$", "") != ""
+        py_strip(F.col("text")) != ""
     ).select("url", "page", "line_id", "text", "text_proportional")
 
 

@@ -6,9 +6,16 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Python str.strip()/\s semantics cover unicode whitespace, not just ASCII
-# space. Java regex \s is ASCII-only by default; enable UNICODE_CHARACTER_CLASS
-# via the embedded flag (?U) so `re.sub(r'\s+', ' ', s)` semantics carry over.
-_WS = r"(?U)\s+"
+# space. Java regex \s is ASCII-only by default; (?U) enables
+# UNICODE_CHARACTER_CLASS (\s = Unicode White_Space), but Python's \s /
+# str.isspace() ADDITIONALLY includes the information-separator controls
+# U+001C-U+001F (bidi class B/S), which White_Space excludes — found by
+# the hypothesis property test against CPython. The explicit class closes
+# the gap exactly.
+WS_CLASS = r"[\s\x1c-\x1f]"
+_WS = r"(?U)" + WS_CLASS + "+"
+# leading/trailing run of Python-whitespace (str.strip() analog)
+STRIP_RE = r"(?U)^" + WS_CLASS + "+|" + WS_CLASS + "+$"
 
 
 def normalize_line(col: Column) -> Column:
@@ -18,7 +25,7 @@ def normalize_line(col: Column) -> Column:
 
 def py_strip(col: Column) -> Column:
     """Python str.strip(): remove leading/trailing unicode whitespace."""
-    return F.regexp_replace(col, r"(?U)^\s+|\s+$", "")
+    return F.regexp_replace(col, STRIP_RE, "")
 
 
 def font_style(font: Column) -> Column:

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import py_strip
+
 
 def form_blocks(lines: DataFrame, rules: DataFrame, segments: DataFrame | None = None) -> DataFrame:
     """Build the blocks table.
@@ -42,7 +44,7 @@ def form_blocks(lines: DataFrame, rules: DataFrame, segments: DataFrame | None =
     )
     base = (
         lines.filter(
-            (F.regexp_replace("text", r"(?U)^\s+|\s+$", "") != "")
+            (py_strip(F.col("text")) != "")
             & F.col("predominant_size").isNotNull()
         )
         .join(r, ["url", "predominant_size"], "left")

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import py_round, round_half, round_2dp
+from ..functions.text import py_strip
 
 
 def _cluster_anchor(tops: np.ndarray, y_tol: float) -> np.ndarray:
@@ -197,7 +198,7 @@ def build_segments(words_with_lines: DataFrame) -> DataFrame:
         F.when(F.coalesce(F.col("_first")["upright"], F.lit(True)), F.lit("upright"))
         .otherwise(F.lit("rotated"))
         .alias("direction"),
-        F.regexp_replace(raw_text, r"(?U)^\s+|\s+$", "").alias("text"),
+        py_strip(raw_text).alias("text"),
         F.struct(
             F.col("_bx0").alias("x0"),
             F.col("_btop").alias("top"),
@@ -366,7 +367,7 @@ def assemble_lines(
 def drop_blank_lines(lines: DataFrame) -> DataFrame:
     """P1 (extractor.py:500-585): remove blank lines, re-derive both gaps
     from nearest non-blank neighbours, renumber (original kept)."""
-    kept = lines.filter(F.regexp_replace("text", r"(?U)^\s+|\s+$", "") != "")
+    kept = lines.filter(py_strip(F.col("text")) != "")
     wp = Window.partitionBy("url", "page").orderBy("line_id")
     return (
         kept.withColumn("original_line_number", F.col("line_number"))

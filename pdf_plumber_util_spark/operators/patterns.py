@@ -20,6 +20,8 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import py_strip
+
 
 class PatternDef(NamedTuple):
     pattern_type: str
@@ -272,7 +274,7 @@ def scan_patterns(
     each pattern becomes a generated matches column, then a single
     explode chain. Accepts PatternDef values or (type, regex) tuples."""
     reg = {n: _as_def(v) for n, v in (registry or PATTERN_REGISTRY).items()}
-    nonblank = lines.filter(F.regexp_replace(text_col, r"(?U)^\s+|\s+$", "") != "")
+    nonblank = lines.filter(py_strip(F.col(text_col)) != "")
     match_arrays = F.array(*[
         F.struct(
             F.lit(name).alias("pattern_name"),

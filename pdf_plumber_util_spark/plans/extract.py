@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
+from ..functions.text import py_strip
 from ..operators.blocks import form_blocks
 from ..operators.boundaries import (
     body_text,
@@ -110,7 +111,7 @@ def doc_stats(lines: DataFrame, segments: DataFrame) -> DataFrame:
 
     valid = lines.filter(
         (F.col("bbox")["bottom"] > F.col("bbox")["top"])
-        & (F.regexp_replace("text", r"(?U)^\s+|\s+$", "") != "")
+        & (py_strip(F.col("text")) != "")
     ).select("url", "page", "line_id")
     segs = segments.join(valid, ["url", "page", "line_id"], "leftsemi")
     # first-seen tie-break in document order (page, line_id, seg_id)
