@@ -303,16 +303,23 @@ def _lines_df(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         return hit
     from .operators import assign_line_ids_window
 
-    # url-hash partitioning of the word stream (plans/extract.py scale
-    # note): every downstream (url, ...)-keyed window/agg/join reuses it
-    words = words_from_lineitem(spark, sf_dir).repartition(F.col("url"))
+    # Two-level partitioning (plans/extract.py scale note): the word-sized
+    # stage keys on (url, page) — the C1 window's own exchange — so a
+    # multi-page document's heavy window work spreads across pages instead
+    # of serializing in one url task; then ONE line-sized exchange re-keys
+    # the assembled lines to url before the persist, so the entire cached
+    # analysis tail (rules join, blocks, boundaries, body) stays
+    # url-co-partitioned and exchange-free. Keying the *words* on url
+    # (round-3 first cut) capped parallelism at the corpus's url count
+    # (50 at sf0.1) and measured 3.4-4.5 s vs 2.8 s for this shape.
+    words = words_from_lineitem(spark, sf_dir)
     wl = assign_line_ids_window(words)
     segs = build_segments(wl)
     # proportional columns pruned from the cached fixture (only
     # q_line_text reads them, and it rebuilds from segs directly)
     lines = drop_blank_lines(
         assemble_lines(wl, segs, page_dims(words), include_proportional=False)
-    ).persist()
+    ).repartition(F.col("url")).persist()
     _SHARED_LINES[key] = (lines, segs)
     return lines, segs
 
