@@ -261,3 +261,40 @@ def test_giant_document_body_cap(spark):
             continue
         assert exact[u]["body_text"] == capped[u]["body_text"]
         assert not exact[u]["body_truncated"]
+
+
+def test_shared_fixture_two_level_partitioning(spark, sf_dir):
+    """The contract's shared lines fixture must carry two-level keying:
+    a word-sized (url, page) exchange for the C1 window (page-parallel
+    line assembly for multi-page docs) plus ONE line-sized exchange to
+    url before the persist — and the flagship tail above the cache must
+    be exchange-free (the url keying it paid for)."""
+    from pdf_plumber_util_spark import contract
+
+    lines, _ = contract._lines_df(spark, sf_dir)
+    lines.count()
+    # the fill plan nests under InMemoryRelation; plans print top-down, so
+    # the FIRST exchange in the string is the topmost one — it must be the
+    # line-sized url re-key (REPARTITION_BY_COL), with the word-sized
+    # (url, page) window exchange below it
+    plan = _plan(lines)
+    m = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(m) >= 2, plan[:3000]
+    assert m[0].startswith("url#") and "page" not in m[0], (
+        f"fixture not url-keyed at the top: {m[0]}"
+    )
+    assert any("page" in k for k in m[1:]), f"no (url, page) word stage: {m}"
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        tail = contract.q_body_text(spark, sf_dir)
+        tplan = _plan(tail)
+        above = tplan.split("InMemoryRelation", 1)[0]
+        n = len(re.findall(r"Exchange", above))
+        assert n == 0, f"flagship tail re-shuffles ({n}):\n{above[:3000]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
