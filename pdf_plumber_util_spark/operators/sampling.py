@@ -109,6 +109,10 @@ def sample_header_footer_groups(pages: DataFrame, group_size: int = 4,
         used: set[int] = set()
         chosen = 0
         for s in starts:
+            # guard at the top so n_groups=0 selects nothing (the
+            # reference's individuals-only mode, test_sampling.py:256)
+            if chosen >= n_groups:
+                break
             span = set(range(s, s + group_size))
             if span & used:
                 continue
@@ -116,8 +120,6 @@ def sample_header_footer_groups(pages: DataFrame, group_size: int = 4,
             chosen += 1
             for i in sorted(span):
                 rows.append({"url": url, "page": pages_list[i], "kind": "group"})
-            if chosen == n_groups:
-                break
         remainder = [i for i in range(total) if i not in used]
         for i in sorted(remainder, key=lambda i: hrank(pages_list[i], "s"))[:n_individuals]:
             rows.append({"url": url, "page": pages_list[i], "kind": "individual"})

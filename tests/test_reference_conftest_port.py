@@ -144,3 +144,113 @@ def test_analyze_contextual_spacing(spark):
     assert r["range_hi"] == pytest.approx(7.2)
     assert r["total_gaps"] == 5
     assert r["total_lines"] == 6
+
+
+# ---------------------------------------------------------------------------
+# PageSampler structural cases (reference tests/unit/test_sampling.py).
+# The reference seeds `random`; M1 is hash-seeded (cluster-invariant), so
+# the *structural* assertions port exactly while specific page numbers
+# differ by design (SURVEY.md §4 custom-work item 5).
+# ---------------------------------------------------------------------------
+
+from pdf_plumber_util_spark.operators.sampling import (  # noqa: E402
+    sample_header_footer_groups,
+)
+
+
+def _m1(spark, total, **kw):
+    pages = spark.createDataFrame(
+        [("u", p) for p in range(1, total + 1)], "url string, page int"
+    )
+    rows = sample_header_footer_groups(pages, **kw).collect()
+    return {
+        "all": sorted(r["page"] for r in rows if r["kind"] == "all"),
+        "group": sorted(r["page"] for r in rows if r["kind"] == "group"),
+        "individual": sorted(r["page"] for r in rows if r["kind"] == "individual"),
+        "n": len(rows),
+    }
+
+
+def test_small_document_returns_all_pages(spark):
+    """test_sampling.py:16 — 3-page doc (< 16 requested) takes every page,
+    in order, with no groups."""
+    got = _m1(spark, 3)
+    assert got["all"] == [1, 2, 3]
+    assert got["group"] == [] and got["individual"] == []
+    assert got["n"] == 3
+
+
+def test_boundary_case_exact_requested_size(spark):
+    """test_sampling.py:43 — 16 pages == 3*4+4 requested -> still take-all."""
+    got = _m1(spark, 16)
+    assert got["all"] == list(range(1, 17))
+    assert got["group"] == [] and got["individual"] == []
+
+
+def test_single_page_document(spark):
+    """test_sampling.py:206 — 1-page doc returns that page, no groups."""
+    got = _m1(spark, 1)
+    assert got["all"] == [1] and got["n"] == 1
+
+
+def test_large_document_uses_sampling(spark):
+    """test_sampling.py:66 — 50 pages -> exactly 3 groups of 4 consecutive
+    pages + 4 individuals, disjoint, 16 total."""
+    got = _m1(spark, 50)
+    assert got["all"] == []
+    assert len(got["group"]) == 12 and len(got["individual"]) == 4
+    assert got["n"] == 16
+    # groups are runs of 4 consecutive pages: the 12 group pages must
+    # partition into 3 runs whose spans don't touch each other
+    runs = []
+    for p in got["group"]:
+        if runs and p == runs[-1][-1] + 1 and len(runs[-1]) < 4:
+            runs[-1].append(p)
+        else:
+            runs.append([p])
+    assert [len(r) for r in runs] == [4, 4, 4]
+    assert set(got["group"]).isdisjoint(got["individual"])
+
+
+def test_no_overlap_guarantee(spark):
+    """test_sampling.py:142 — 100 pages: no page selected twice."""
+    got = _m1(spark, 100)
+    picked = got["group"] + got["individual"]
+    assert len(picked) == len(set(picked)) == 16
+
+
+def test_insufficient_pages_for_groups(spark):
+    """test_sampling.py:176 — 18 pages (> 16) uses complex sampling;
+    selection stays in bounds with reasonable coverage."""
+    got = _m1(spark, 18)
+    picked = got["group"] + got["individual"]
+    assert 10 <= len(picked) <= 18
+    assert all(1 <= p <= 18 for p in picked)
+
+
+def test_custom_parameters(spark):
+    """test_sampling.py:109 — 30 pages, 2 groups of 3 + 2 individuals."""
+    got = _m1(spark, 30, group_size=3, n_groups=2, n_individuals=2)
+    assert len(got["group"]) == 6 and len(got["individual"]) == 2
+    assert set(got["group"]).isdisjoint(got["individual"])
+
+
+def test_zero_individuals_parameter(spark):
+    """test_sampling.py:229 — individuals=0 -> groups only (12 pages)."""
+    got = _m1(spark, 30, group_size=4, n_groups=3, n_individuals=0)
+    assert len(got["group"]) == 12 and got["individual"] == []
+    assert got["n"] == 12
+
+
+def test_zero_groups_parameter(spark):
+    """test_sampling.py:256 — groups=0 -> individuals only (8 pages)."""
+    got = _m1(spark, 30, group_size=4, n_groups=0, n_individuals=8)
+    assert got["group"] == [] and len(got["individual"]) == 8
+    assert got["n"] == 8
+
+
+def test_deterministic_sampling(spark):
+    """test_sampling.py:308 — same input -> identical selection (M1 is
+    hash-ranked, so determinism holds on any partitioning, stronger than
+    the reference's same-seed guarantee)."""
+    assert _m1(spark, 50) == _m1(spark, 50)
