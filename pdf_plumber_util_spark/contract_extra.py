@@ -1429,3 +1429,209 @@ SELECT doc_id,
 FROM documents
 """,
 })
+
+
+# ------------------------------------------------- webtext pipeline ops
+# URL canonicalization/dedup, Gopher quality gates, C4 line filtering,
+# PII scrubbing (operators/webtext.py). The url queries synthesize messy
+# URLs deterministically from `documents` with the SAME expression on
+# both engines (the words_from_lineitem pattern), so the thing under
+# test is the canonicalization, not the synthesis.
+
+
+def _messy_urls(docs: DataFrame) -> DataFrame:
+    """(doc_id, url): four deterministic mess classes. Cases 0/2 share a
+    fixed host and a doc_id%25 path so they collapse into real duplicate
+    groups after canonicalization; case 1 keeps a non-default port; case
+    3 exercises trailing-slash stripping."""
+    g = (F.col("doc_id") % 25).cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://dup.Example.COM:443/a//b/"), g,
+            F.lit("/?utm_source=feed&b=2&a=1#frag")))
+        .when(m == 1, F.concat(
+            F.lit("http://"), F.col("source"),
+            F.lit(".example.com:8080/a/b/"), g))
+        .when(m == 2, F.concat(
+            F.lit("https://dup.example.com/a/b/"), g, F.lit("?a=1&b=2")))
+        .otherwise(F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/a/b/"), g, F.lit("/")))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+_MESSY_URLS_SQL = r"""
+WITH messy AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTPS://dup.Example.COM:443/a//b/' || CAST(doc_id % 25 AS VARCHAR)
+                  || '/?utm_source=feed&b=2&a=1#frag'
+      WHEN 1 THEN 'http://' || source || '.example.com:8080/a/b/'
+                  || CAST(doc_id % 25 AS VARCHAR)
+      WHEN 2 THEN 'https://dup.example.com/a/b/' || CAST(doc_id % 25 AS VARCHAR)
+                  || '?a=1&b=2'
+      ELSE 'https://' || source || '.example.com/a/b/'
+           || CAST(doc_id % 25 AS VARCHAR) || '/'
+    END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[^:]+://([^/?#:]+)', 1)) AS host,
+    regexp_extract(url, '^[^:]+://[^/?#:]+:(\d+)', 1) AS port,
+    regexp_extract(url, '^[^:]+://[^/?#]+([^?#]*)', 1) AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM messy
+), canon AS (
+  SELECT doc_id, url,
+    scheme || '://' || host
+    || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                 OR (scheme = 'https' AND port = '443')
+            THEN '' ELSE ':' || port END
+    || CASE WHEN regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'), '/$', '') = ''
+            THEN '/'
+            ELSE regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'), '/$', '') END
+    || CASE WHEN len(list_filter(string_split(query, '&'),
+                p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')))
+              > 0
+            THEN '?' || array_to_string(list_sort(list_filter(string_split(query, '&'),
+                p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&')
+            ELSE '' END AS canonical_url
+  FROM parts
+)
+"""
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.webtext import canonicalize_urls
+
+    return canonicalize_urls(_messy_urls(load_table(spark, sf_dir, "documents")))
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.webtext import url_dedup
+
+    return url_dedup(_messy_urls(load_table(spark, sf_dir, "documents")))
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.webtext import gopher_quality
+
+    return gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .contract import q_line_text
+    from .operators.webtext import c4_line_filter
+
+    return c4_line_filter(q_line_text(spark, sf_dir))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.webtext import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10.2."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".7 or 555-123-4567 now"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return pii_scrub(injected)
+
+
+EXTRA_QUERIES.update({
+    "u1_url_canonical": q_url_canonical,
+    "d9_url_dedup": q_url_dedup,
+    "t5_gopher_quality": q_gopher_quality,
+    "t6_c4_line_filter": q_c4_line_filter,
+    "t7_pii_scrub": q_pii_scrub,
+})
+
+EXTRA_ORACLES.update({
+    "u1_url_canonical": _MESSY_URLS_SQL + """
+SELECT doc_id, url, canonical_url FROM canon
+""",
+    "d9_url_dedup": _MESSY_URLS_SQL + r"""
+, grp AS (
+  SELECT canonical_url, MIN(doc_id) AS canonical_id,
+    CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM canon GROUP BY canonical_url
+)
+SELECT c.doc_id, c.canonical_url, g.canonical_id, g.group_size,
+  c.doc_id <> g.canonical_id AS is_duplicate
+FROM canon c JOIN grp g USING (canonical_url)
+""",
+    "t5_gopher_quality": r"""
+WITH g AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(text), '\s+') AS toks,
+    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) AS stop_hits
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+      / len(toks) AS mean_word_len,
+    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      / len(toks) AS alpha_word_frac,
+    CAST(stop_hits AS BIGINT) AS stop_hits
+  FROM g
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stop_hits,
+  (n_words BETWEEN 50 AND 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND alpha_word_frac > 0.80 AND stop_hits >= 2) AS keep
+FROM m
+""",
+    "t6_c4_line_filter": _LINES_SQL + r"""
+, lt AS (
+  SELECT url, page, line_id, text,
+    len(regexp_split_to_array(trim(text), '\s+')) >= 3 AS _keep
+  FROM line_text
+)
+SELECT url,
+  CAST(SUM(CASE WHEN _keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+  CAST(SUM(CASE WHEN _keep THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_dropped,
+  COALESCE(STRING_AGG(CASE WHEN _keep THEN text END, chr(10)
+                      ORDER BY page, line_id), '') AS kept_text
+FROM lt GROUP BY url
+""",
+    "t7_pii_scrub": r"""
+WITH injected AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN
+      text || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@example.com at 10.2.' || CAST(doc_id % 200 AS VARCHAR)
+      || '.7 or 555-123-4567 now'
+    ELSE text END AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+    regexp_replace(text,
+      '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM injected
+), s2 AS (
+  SELECT doc_id, n_emails,
+    CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+    regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t
+  FROM s1
+)
+SELECT doc_id,
+  regexp_replace(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS scrubbed_text,
+  n_emails, n_ips,
+  CAST(len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones
+FROM s2
+""",
+})

@@ -215,8 +215,9 @@ def near_dup_pipeline(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
 
     Per doc: (doc_id, canonical_id, is_duplicate). canonical_id is the
     smallest doc_id reachable through verified near-dup edges (true CC
-    minimum once propagation converges — O(log diameter) rounds; each
-    round is one shuffle of the label table, never of the corpus).
+    minimum once propagation converges — one round per hop of cluster
+    diameter, which for near-dup clusters is tiny; each round is one
+    shuffle of the label table, never of the corpus).
     Everything upstream is candidate-bounded: the Jaccard join fans each
     candidate pair out by one side's capped shingles only.
 

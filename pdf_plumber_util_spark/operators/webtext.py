@@ -1,0 +1,208 @@
+"""Webtext training-data operators: URL canonicalization/dedup, quality
+gates, line-level filtering, and PII scrubbing.
+
+These are the crawl-corpus companions to the dedup/ANN layer (SURVEY.md
+§2.12 "beyond-the-reference training-data ops"): everything a
+Common-Crawl-style pipeline runs between raw extraction and tokenization.
+All operators are pure Column expressions (JVM-side, no UDFs) so they
+stay inside whole-stage codegen and scale as map-only projections; the
+only shuffles are the explicit groupBys in the dedup/report steps, keyed
+by uniformly-distributed hash or url keys.
+
+Published-rule provenance (public papers, reimplemented from the text of
+the rules, no code consulted):
+  - Gopher quality gates: Rae et al. 2021, "Scaling Language Models:
+    Methods, Analysis & Insights from Training Gopher", App. A1.1.
+  - C4-style line filtering: Raffel et al. 2020, "Exploring the Limits
+    of Transfer Learning with a Unified Text-to-Text Transformer" §2.2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import LANG_STOPWORDS
+
+# query parameters stripped during canonicalization (tracking params);
+# shared verbatim with the DuckDB oracle in contract_extra.py
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+
+# default ports dropped per scheme
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL as a single Column expression.
+
+    Rules (each one a crawl-dedup staple):
+      - scheme and host lowercased
+      - default ports dropped (http:80, https:443); other ports kept
+      - path: runs of '/' collapsed, trailing '/' stripped, '' -> '/'
+      - query: tracking params (TRACKING_PARAM_RE) removed, remaining
+        params sorted bytewise, dropped entirely if none survive
+      - fragment always dropped
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#:]+)", 1))
+    port = F.regexp_extract(url, r"^[^:]+://[^/?#:]+:(\d+)", 1)
+    path = F.regexp_extract(url, r"^[^:]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == _DEFAULT_PORTS["http"]))
+        | ((scheme == "https") & (port == _DEFAULT_PORTS["https"])),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+
+    norm_path = F.regexp_replace(path, r"/{2,}", "/")
+    norm_path = F.regexp_replace(norm_path, r"/$", "")
+    norm_path = F.when(norm_path == "", F.lit("/")).otherwise(norm_path)
+
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    query_part = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+    ).otherwise(F.lit(""))
+
+    return F.concat(scheme, F.lit("://"), host, port_part, norm_path, query_part)
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds `canonical_url` next to the raw url column. Map-only."""
+    return df.withColumn("canonical_url", canonical_url(F.col(url_col)))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """URL-level exact dedup: group by canonical url, canonical member =
+    min id. One shuffle on the canonical-url hash (uniform unless one
+    url truly repeats massively — that IS the duplicate mass a crawl
+    dedup exists to find, and AQE's skew split handles the reduce side).
+
+    Output: (id, canonical_url, canonical_id, group_size, is_duplicate).
+    """
+    canon = canonicalize_urls(df, url_col).select(id_col, "canonical_url")
+    grp = canon.groupBy("canonical_url").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count("*").cast("long").alias("group_size"),
+    )
+    return canon.join(grp, "canonical_url").select(
+        id_col,
+        "canonical_url",
+        "canonical_id",
+        "group_size",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+    )
+
+
+def gopher_quality(docs: DataFrame, min_words: int = 50,
+                   max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   min_alpha_word_frac: float = 0.80,
+                   min_stop_hits: int = 2) -> DataFrame:
+    """Gopher-rule document quality gates (Rae et al. 2021 A1.1 subset
+    that is meaningful without markup): word-count bounds, mean word
+    length bounds, fraction of words containing an alphabetic character,
+    and minimum distinct stopword evidence. Map-only; `keep` is the
+    conjunction.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = sum_len.cast("double") / n_words
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / n_words
+    )
+    sw = "|".join(LANG_STOPWORDS["en"])
+    stop_hits = F.size(F.regexp_extract_all(F.lower("text"), F.lit(rf"\b({sw})\b"), 0))
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        (
+            n_words.between(min_words, max_words)
+            & (mean_wl >= min_mean_word_len)
+            & (mean_wl <= max_mean_word_len)
+            & (alpha_frac > min_alpha_word_frac)
+            & (stop_hits >= min_stop_hits)
+        ).alias("keep"),
+    )
+
+
+def c4_line_filter(lines: DataFrame, min_words: int = 3,
+                   require_terminal_punct: bool = False) -> DataFrame:
+    """C4-style line filtering over an extracted-lines table
+    (url, page, line_id, text): keep lines with at least ``min_words``
+    whitespace words (and, optionally, terminal punctuation — off by
+    default because the synthetic corpus has none). Returns the per-url
+    report: kept/dropped counts and the newline-joined kept text in
+    (page, line_id) order.
+
+    The join is a collect_list over each url's KEPT lines — line-count
+    sized, same bound as the flagship's body assembly; at giant-doc scale
+    the same two-level guard applies (operators/boundaries.py).
+    """
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    keep = n_words >= min_words
+    if require_terminal_punct:
+        keep = keep & F.col("text").rlike(r"[.!?\"']$")
+    flagged = lines.select("url", "page", "line_id", "text", keep.alias("_keep"))
+    return (
+        flagged.groupBy("url")
+        .agg(
+            F.sum(F.col("_keep").cast("long")).alias("n_lines_kept"),
+            F.sum((~F.col("_keep")).cast("long")).alias("n_lines_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct("page", "line_id", "text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("kept_text"),
+        )
+    )
+
+
+# PII patterns (order matters: emails first so their dotted domains are
+# gone before the IP pass; phone last). Shared verbatim with the oracle.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses, and NNN-NNN-NNNN phone numbers,
+    reporting per-doc counts. Map-only regexp passes (Java regex here,
+    RE2 in the oracle — the patterns stay inside the common subset:
+    no backrefs, no lookaround)."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+    scrubbed = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(scrubbed, F.lit(PII_IPV4_RE), 0))
+    scrubbed = F.regexp_replace(scrubbed, PII_IPV4_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(scrubbed, F.lit(PII_PHONE_RE), 0))
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed_text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+    )

@@ -1,0 +1,136 @@
+"""Unit tests for the webtext training-data operators
+(operators/webtext.py): URL canonicalization corner cases, Gopher gate
+boundaries, C4 line filtering, PII scrubbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_plumber_util_spark.operators.webtext import (
+    c4_line_filter,
+    canonical_url,
+    gopher_quality,
+    pii_scrub,
+    url_dedup,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+
+
+def test_canonical_url_corner_cases(spark):
+    got = _canon(spark, [
+        # mixed case scheme/host, default https port, fragment
+        "HTTPS://WWW.Example.COM:443/Path/#frag",
+        # default http port
+        "http://example.com:80/a",
+        # non-default port kept
+        "http://example.com:8080/a",
+        # duplicate-slash collapse + trailing-slash strip
+        "https://example.com//a///b//",
+        # empty path -> '/'
+        "https://example.com",
+        # tracking params dropped, remainder sorted, '&&' empties ignored
+        "https://example.com/p?utm_source=x&b=2&&a=1&gclid=z&fbclid=f&ref=r",
+        # ALL params tracking -> no '?' at all
+        "https://example.com/p?utm_campaign=x&utm_medium=y",
+        # case preserved in path and query values
+        "https://example.com/CaseSensitive?Q=Val",
+    ])
+    assert got == [
+        "https://www.example.com/Path",
+        "http://example.com/a",
+        "http://example.com:8080/a",
+        "https://example.com/a/b",
+        "https://example.com/",
+        "https://example.com/p?a=1&b=2",
+        "https://example.com/p",
+        "https://example.com/CaseSensitive?Q=Val",
+    ]
+
+
+def test_url_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://A.com/x/"),
+            (2, "HTTPS://a.COM:443/x"),
+            (3, "https://a.com/x?utm_source=t"),
+            (4, "https://b.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["doc_id"]: r for r in url_dedup(df).collect()}
+    assert rows[1]["canonical_id"] == 1 and not rows[1]["is_duplicate"]
+    assert rows[2]["canonical_id"] == 1 and rows[2]["is_duplicate"]
+    assert rows[3]["canonical_id"] == 1 and rows[3]["group_size"] == 3
+    assert rows[4]["canonical_id"] == 4 and rows[4]["group_size"] == 1
+
+
+def test_gopher_boundaries(spark):
+    mk = lambda n: " ".join(["the", "and"] + ["word"] * (n - 2))
+    df = spark.createDataFrame(
+        [
+            (1, mk(50)),            # exactly min_words -> keep
+            (2, mk(49)),            # one short -> drop
+            (3, " ".join(["the", "and"] + ["x" * 11] * 48)),  # mean len > 10
+            (4, " ".join(["the", "and"] + ["12345"] * 58)),   # alpha frac 2/60
+            (5, " ".join(["word"] * 60)),                     # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert got[1]["keep"] and got[1]["n_words"] == 50
+    assert not got[2]["keep"]
+    assert not got[3]["keep"] and got[3]["mean_word_len"] > 10
+    assert not got[4]["keep"] and got[4]["alpha_word_frac"] == pytest.approx(2 / 60)
+    assert not got[5]["keep"] and got[5]["stop_hits"] == 0
+
+
+def test_c4_line_filter_ordering_and_empty(spark):
+    lines = spark.createDataFrame(
+        [
+            ("u1", 2, 1, "third kept line here"),
+            ("u1", 1, 2, "second kept line"),
+            ("u1", 1, 1, "first kept line"),
+            ("u1", 1, 3, "too short"),
+            ("u2", 1, 1, "nope"),
+        ],
+        "url string, page int, line_id int, text string",
+    )
+    got = {r["url"]: r for r in c4_line_filter(lines).collect()}
+    # kept text in (page, line_id) order regardless of input order
+    assert got["u1"]["kept_text"] == (
+        "first kept line\nsecond kept line\nthird kept line here"
+    )
+    assert got["u1"]["n_lines_kept"] == 3 and got["u1"]["n_lines_dropped"] == 1
+    # a url with zero kept lines still reports, with empty text
+    assert got["u2"]["kept_text"] == "" and got["u2"]["n_lines_kept"] == 0
+
+
+def test_c4_terminal_punct_mode(spark):
+    lines = spark.createDataFrame(
+        [("u", 1, 1, "ends with period words."), ("u", 1, 2, "no terminal punct words")],
+        "url string, page int, line_id int, text string",
+    )
+    got = c4_line_filter(lines, require_terminal_punct=True).collect()[0]
+    assert got["n_lines_kept"] == 1 and got["n_lines_dropped"] == 1
+    assert got["kept_text"] == "ends with period words."
+
+
+def test_pii_scrub_all_kinds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_1%d@sub.example.co.uk or 192.168.0.1 call 555-123-4567"),
+            (2, "phone 555.123.4567 and 555 123 4567 but not 55-12-34"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_ips"] == 1 and got[1]["n_phones"] == 1
+    assert got[1]["scrubbed_text"] == "mail <EMAIL> or <IP> call <PHONE>"
+    assert got[2]["n_phones"] == 2
+    assert "<PHONE>" in got[2]["scrubbed_text"] and "55-12-34" in got[2]["scrubbed_text"]
+    assert got[3]["scrubbed_text"] == "clean text with no pii at all"
+    assert got[3]["n_emails"] == got[3]["n_ips"] == got[3]["n_phones"] == 0
