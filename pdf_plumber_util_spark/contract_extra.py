@@ -1635,3 +1635,35 @@ SELECT doc_id,
 FROM s2
 """,
 })
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 (beyond ref, north-star phrase): cross-page repeated-span
+    hashing over the contract lines — flags the per-page furniture lines
+    by text repetition alone, no geometry."""
+    from .operators.webtext import repeated_spans
+
+    return repeated_spans(
+        _contract_lines(spark, sf_dir).select("url", "page", "line_number", "text")
+    )
+
+
+EXTRA_QUERIES["h6_repeated_spans"] = q_repeated_spans
+EXTRA_ORACLES["h6_repeated_spans"] = _LINES_SQL + r"""
+, hashed AS (
+  SELECT url, page, line_number,
+    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS span_hash
+  FROM lines
+), np AS (
+  SELECT url, COUNT(DISTINCT page) AS n_pages FROM hashed GROUP BY url
+), sp AS (
+  SELECT url, span_hash, CAST(COUNT(DISTINCT page) AS BIGINT) AS n_span_pages
+  FROM hashed GROUP BY url, span_hash
+)
+SELECT h.url, h.page, h.line_number, h.span_hash, s.n_span_pages,
+  s.n_span_pages >= GREATEST(3, CAST(CEIL(0.5 * np.n_pages) AS BIGINT))
+    AS is_repeated_furniture
+FROM hashed h
+JOIN sp s USING (url, span_hash)
+JOIN np USING (url)
+"""

@@ -206,3 +206,50 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_ips.cast("long").alias("n_ips"),
         n_phones.cast("long").alias("n_phones"),
     )
+
+
+def repeated_spans(lines: DataFrame, min_pages: int = 3,
+                   min_frac: float = 0.5) -> DataFrame:
+    """Cross-page repeated-span hashing (the north-star's text-hash
+    boilerplate signal, complementary to the geometric H1-H5 voting): a
+    line whose normalized-text hash appears on at least
+    ``max(min_pages, ceil(min_frac * n_pages))`` distinct pages of its
+    document is furniture regardless of y position — running headers,
+    page footers, nav strips that move around.
+
+    Input: an extracted-lines table (url, page, line_number, text).
+    Output: every line with its span_hash, the distinct-page support of
+    that hash, and the is_repeated_furniture verdict.
+
+    Shape at scale: one line-sized groupBy on (url, span_hash), one
+    line-sized groupBy on url, and co-partitioned joins back — every key
+    carries the url prefix, so under the pipeline's url partitioning
+    (with requireAllClusterKeysForCoPartition=false) nothing corpus-sized
+    re-shuffles.
+    """
+    from ..functions.text import normalize_line
+
+    hashed = lines.select(
+        "url", "page", "line_number",
+        F.md5(normalize_line(F.lower(F.col("text")))).alias("span_hash"),
+    )
+    n_pages = hashed.groupBy("url").agg(
+        F.countDistinct("page").alias("_n_pages")
+    )
+    spans = hashed.groupBy("url", "span_hash").agg(
+        F.countDistinct("page").cast("long").alias("n_span_pages")
+    )
+    return (
+        hashed.join(spans, ["url", "span_hash"])
+        .join(n_pages, "url")
+        .select(
+            "url", "page", "line_number", "span_hash", "n_span_pages",
+            (
+                F.col("n_span_pages")
+                >= F.greatest(
+                    F.lit(min_pages).cast("long"),
+                    F.ceil(F.lit(min_frac) * F.col("_n_pages")),
+                )
+            ).alias("is_repeated_furniture"),
+        )
+    )

@@ -134,3 +134,28 @@ def test_pii_scrub_all_kinds(spark):
     assert "<PHONE>" in got[2]["scrubbed_text"] and "55-12-34" in got[2]["scrubbed_text"]
     assert got[3]["scrubbed_text"] == "clean text with no pii at all"
     assert got[3]["n_emails"] == got[3]["n_ips"] == got[3]["n_phones"] == 0
+
+
+def test_repeated_spans_geometry_independent(spark):
+    """A span repeated across pages is furniture even at varying y
+    (the text-hash signal the geometric H1-H5 voting can't see); body
+    lines and under-threshold repeats stay unflagged."""
+    from pdf_plumber_util_spark.operators.webtext import repeated_spans
+
+    rows = []
+    for p in range(1, 7):  # 6 pages; whitespace varies but must unify
+        header = "Running  Header" if p % 2 else "  Running Header "
+        rows.append(("u", p, 1, header))
+        rows.append(("u", p, 2, f"unique body line {p}"))
+    rows += [("u", p, 3, "rare repeat") for p in (1, 2)]  # 2 < max(3, 3)
+    df = spark.createDataFrame(rows, "url string, page int, line_number int, text string")
+    got = repeated_spans(df).collect()
+    flags = {(r["page"], r["line_number"]): r["is_repeated_furniture"] for r in got}
+    assert all(flags[(p, 1)] for p in range(1, 7))
+    assert not any(flags[(p, 2)] for p in range(1, 7))
+    assert not flags[(1, 3)] and not flags[(2, 3)]
+    # whitespace-normalized hashing: 'Running  Header' == 'Running Header'
+    h = {r["span_hash"] for r in got if r["line_number"] == 1}
+    assert len(h) == 1
+    supports = {r["n_span_pages"] for r in got if r["line_number"] == 1}
+    assert supports == {6}
