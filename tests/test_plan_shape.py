@@ -298,3 +298,35 @@ def test_shared_fixture_two_level_partitioning(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_repeated_spans_reuses_url_partitioning(spark):
+    """h6 repeated-span hashing: every key (url,span_hash / url) carries
+    the url prefix, so over url-partitioned lines — with broadcasts
+    disabled, the 100TB analog — the whole operator adds ZERO exchanges
+    above the input's one explicit repartition."""
+    from pdf_plumber_util_spark.operators.webtext import repeated_spans
+
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        lines = spark.createDataFrame(
+            [("u%d" % (i % 5), i % 3 + 1, i, "text %d" % (i % 7)) for i in range(60)],
+            "url string, page int, line_number int, text string",
+        ).repartition(F.col("url")).persist()
+        lines.count()
+        plan = _plan(repeated_spans(lines))
+        # the only Exchange mentions allowed are the cached input's own
+        # REPARTITION_BY_COL lineage spec (one plan_id, printed once per
+        # InMemoryRelation branch, executed zero times): both aggs and
+        # both joins must reuse the url partitioning
+        ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
+        assert all("REPARTITION_BY_COL" in l for l in ex_lines), plan[:3000]
+        ids = {m for l in ex_lines for m in re.findall(r"plan_id=(\d+)", l)}
+        assert len(ids) == 1, f"more than one distinct exchange:\n{plan[:3000]}"
+        lines.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
