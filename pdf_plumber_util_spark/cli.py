@@ -21,6 +21,8 @@ import json
 import os
 import sys
 
+from .exceptions import EngineError
+
 
 def _spark(cores: int | None = None):
     from .session import get_spark
@@ -255,7 +257,13 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_dedup)
 
     args = ap.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except EngineError as e:
+        # reference CLI error pipeline (cli.py handle_* paths): render the
+        # message + suggestion + context, exit nonzero instead of a trace
+        print(e.render(), file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

@@ -26,27 +26,53 @@ def write_stage(df: DataFrame, out_dir: str, base: str, stage: str,
     return path
 
 
-def read_lines_stage(spark: SparkSession, path: str) -> DataFrame:
-    """S2: load a lines stage table (schema enforced by parquet)."""
-    return spark.read.parquet(path)
+# minimum schema the analysis plans assume of a lines stage
+LINES_STAGE_REQUIRED = ("url", "page", "line_number", "text")
+
+
+def read_lines_stage(spark: SparkSession, path: str,
+                     required: tuple[str, ...] = LINES_STAGE_REQUIRED) -> DataFrame:
+    """S2: load a lines stage table, with the reference's error taxonomy
+    (analyzer.py:1168-1219 missing-file / invalid-format handling) as
+    structured exceptions. ``required=()`` reads any stage table."""
+    from pyspark.errors import AnalysisException
+
+    from ..exceptions import SchemaMismatchError, SourceNotFoundError
+
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            raise SourceNotFoundError(path, fmt="parquet", original_error=e) from e
+        raise
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise SchemaMismatchError(path, missing, df.columns)
+    return df
 
 
 def parse_page_range(spec: str, max_page: int) -> list[int]:
-    """S3 (plumb_layout.py:8-21): '1-3,5' -> [1,2,3,5], clamped."""
+    """S3 (plumb_layout.py:8-21): '1-3,5' -> [1,2,3,5], clamped.
+    Malformed specs raise a structured PageRangeError."""
+    from ..exceptions import PageRangeError
+
     pages: set[int] = set()
     for part in spec.split(","):
         part = part.strip()
         if not part:
             continue
-        if "-" in part:
-            lo, hi = part.split("-", 1)
-            lo_i = int(lo) if lo else 1
-            hi_i = int(hi) if hi else max_page
-            pages.update(range(lo_i, min(hi_i, max_page) + 1))
-        else:
-            p = int(part)
-            if p <= max_page:
-                pages.add(p)
+        try:
+            if "-" in part:
+                lo, hi = part.split("-", 1)
+                lo_i = int(lo) if lo else 1
+                hi_i = int(hi) if hi else max_page
+                pages.update(range(lo_i, min(hi_i, max_page) + 1))
+            else:
+                p = int(part)
+                if p <= max_page:
+                    pages.add(p)
+        except ValueError as e:
+            raise PageRangeError(spec, original_error=e) from e
     return sorted(pages)
 
 

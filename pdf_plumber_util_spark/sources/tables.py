@@ -44,7 +44,17 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.errors import AnalysisException
+
+    from ..exceptions import SourceNotFoundError
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            raise SourceNotFoundError(path, fmt="parquet", original_error=e) from e
+        raise
 
 
 def words_from_lineitem(spark: SparkSession, sf_dir: str,

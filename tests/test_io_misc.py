@@ -26,7 +26,7 @@ def test_parse_page_range():
 def test_stage_sink_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([Row(url="u", page=1, x=1.5)])
     p = write_stage(df, str(tmp_path), "doc", "lines")
-    back = read_lines_stage(spark, p)
+    back = read_lines_stage(spark, p, required=())  # generic stage read
     assert back.collect() == df.collect()
     assert p.endswith("doc_lines")
 
