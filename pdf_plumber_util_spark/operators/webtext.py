@@ -47,7 +47,9 @@ def canonical_url(url: Column) -> Column:
     host = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#:]+)", 1))
     port = F.regexp_extract(url, r"^[^:]+://[^/?#:]+:(\d+)", 1)
     path = F.regexp_extract(url, r"^[^:]+://[^/?#]+([^?#]*)", 1)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # Anchor to the pre-fragment prefix: a '?' occurring after '#' is part
+    # of the fragment (RFC 3986) and must not be read as a query string.
+    query = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
 
     port_part = F.when(
         (port == "")

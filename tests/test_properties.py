@@ -138,3 +138,80 @@ def test_normalize_line_matches_cpython(spark, values):
                       in_type="string")
     want = [re.sub(r"\s+", " ", v).strip() for v in values]
     assert got == want
+
+
+# ---------------------------------------------------------------- urls
+
+_SEG = st.text(
+    alphabet=st.sampled_from("aBcDe019._~-"), min_size=0, max_size=6
+)
+_PARAM_KEY = st.sampled_from(
+    ["a", "B", "q", "x2", "utm_source", "utm_campaign", "fbclid", "gclid", "ref"]
+)
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "HTTP", "https", "HTTPS", "hTTpS"]))
+    host = draw(st.sampled_from(
+        ["Example.COM", "www.example.org", "A.b.C.de", "HOT0.example.com"]
+    ))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080", ":8443"]))
+    segs = draw(st.lists(_SEG, min_size=0, max_size=4))
+    path = "".join(
+        draw(st.sampled_from(["/", "//", "///"])) + s for s in segs
+    )
+    if draw(st.booleans()):
+        path += draw(st.sampled_from(["/", "//"]))
+    params = draw(st.lists(
+        st.tuples(_PARAM_KEY, st.text(alphabet="abc01", max_size=3)),
+        min_size=0, max_size=4,
+    ))
+    query = "&".join(f"{k}={v}" for k, v in params)
+    frag = draw(st.sampled_from(["", "#frag", "#a/b?c=1"]))
+    return f"{scheme}://{host}{port}{path}" + (f"?{query}" if query else "") + frag
+
+
+def _canonical_twin(url: str) -> str:
+    """Pure-Python restatement of the canonicalization rules via
+    urllib.parse (independent of the Spark regexes)."""
+    import re as _re
+    from urllib.parse import urlsplit
+
+    sp = urlsplit(url)
+    scheme = sp.scheme.lower()
+    host = (sp.hostname or "").lower()
+    port = ""
+    if sp.port is not None and not (
+        (scheme == "http" and sp.port == 80)
+        or (scheme == "https" and sp.port == 443)
+    ):
+        port = f":{sp.port}"
+    path = _re.sub(r"/{2,}", "/", sp.path)
+    path = _re.sub(r"/$", "", path) or "/"
+    params = [
+        p for p in sp.query.split("&")
+        if p and not _re.match(r"^(utm_[^=]*|fbclid|gclid|ref)=", p)
+    ]
+    q = "?" + "&".join(sorted(params)) if params else ""
+    return f"{scheme}://{host}{port}{path}{q}"
+
+
+@given(st.lists(_urls(), min_size=1, max_size=50))
+@settings(max_examples=12, deadline=None)
+def test_canonical_url_matches_urllib_twin_and_is_idempotent(spark, urls):
+    from pyspark.sql import functions as F
+
+    from pdf_plumber_util_spark.operators.webtext import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        (r["c1"], r["c2"])
+        for r in df.select(
+            canonical_url(F.col("url")).alias("c1"),
+            canonical_url(canonical_url(F.col("url"))).alias("c2"),
+        ).collect()
+    ]
+    for u, (c1, c2) in zip(urls, got):
+        assert c1 == _canonical_twin(u), (u, c1)
+        assert c2 == c1, f"not idempotent: {u} -> {c1} -> {c2}"
