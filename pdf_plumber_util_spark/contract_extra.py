@@ -8,7 +8,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .contract import _LINED_FRAGMENT, _LINES_SQL, _RULES_SQL, _sql_py_round, sql_round_to
+from .contract import (
+    _BLOCKS_SQL,
+    _LINED_FRAGMENT,
+    _LINES_SQL,
+    _RULES_SQL,
+    _sql_py_round,
+    sql_round_to,
+)
 from .sources.tables import WORDS_FROM_LINEITEM_SQL, WORDS_TIGHT_SQL
 from .functions.rounding import py_round
 from .operators import dedup, similarity, stats, text_analysis
@@ -1482,7 +1489,7 @@ WITH messy AS (
     lower(regexp_extract(url, '^[^:]+://([^/?#:]+)', 1)) AS host,
     regexp_extract(url, '^[^:]+://[^/?#:]+:(\d+)', 1) AS port,
     regexp_extract(url, '^[^:]+://[^/?#]+([^?#]*)', 1) AS path,
-    regexp_extract(url, '\?([^#]*)', 1) AS query
+    regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS query
   FROM messy
 ), canon AS (
   SELECT doc_id, url,
@@ -1666,4 +1673,56 @@ SELECT h.url, h.page, h.line_number, h.span_hash, s.n_span_pages,
 FROM hashed h
 JOIN sp s USING (url, span_hash)
 JOIN np USING (url)
+"""
+
+
+def q_block_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 (beyond ref, north-star phrase): text-density / link-density
+    boilerplate classification per block. The synthetic corpus derives
+    ``is_link`` deterministically (Helvetica words = link spans) so the
+    thing under test is the density arithmetic and block membership, not
+    the HTML tokenizer (which emits real is_link flags, tested in
+    tests/test_webtext.py)."""
+    from .contract import _lines_df
+    from .operators import assign_line_ids_window, contextual_spacing_rules, form_blocks
+    from .operators.webtext import block_boilerplate
+
+    words = words_from_lineitem(spark, sf_dir).withColumn(
+        "is_link", F.col("fontname") == "Helvetica"
+    )
+    lines, _ = _lines_df(spark, sf_dir)
+    blocks = form_blocks(lines, contextual_spacing_rules(lines))
+    out = block_boilerplate(assign_line_ids_window(words), lines, blocks)
+    return out.select(
+        "url", "page", F.col("block_id").cast("long").alias("block_id"),
+        "n_words", "n_chars", "n_link_chars", "n_lines",
+        "link_density", "text_density", "is_boilerplate",
+    )
+
+
+EXTRA_QUERIES["b1_block_boilerplate"] = q_block_boilerplate
+EXTRA_ORACLES["b1_block_boilerplate"] = _LINES_SQL + _RULES_SQL + _BLOCKS_SQL + r"""
+, line_wstats AS (
+  SELECT url, page, line_id,
+    CAST(SUM(LENGTH(text)) AS BIGINT) AS l_chars,
+    CAST(SUM(CASE WHEN fontname = 'Helvetica' THEN LENGTH(text) ELSE 0 END)
+      AS BIGINT) AS l_link_chars,
+    CAST(COUNT(*) AS BIGINT) AS l_words
+  FROM lined GROUP BY url, page, line_id
+), bstats AS (
+  SELECT b.url, b.page, b.block_id,
+    CAST(SUM(s.l_words) AS BIGINT) AS n_words,
+    CAST(SUM(s.l_chars) AS BIGINT) AS n_chars,
+    CAST(SUM(s.l_link_chars) AS BIGINT) AS n_link_chars,
+    CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM bl2 b JOIN line_wstats s USING (url, page, line_id)
+  GROUP BY b.url, b.page, b.block_id
+)
+SELECT url, page, CAST(block_id AS BIGINT) AS block_id,
+  n_words, n_chars, n_link_chars, n_lines,
+  CAST(n_link_chars AS DOUBLE) / n_chars AS link_density,
+  CAST(n_words AS DOUBLE) / n_lines AS text_density,
+  (CAST(n_link_chars AS DOUBLE) / n_chars >= 0.33
+   OR CAST(n_words AS DOUBLE) / n_lines < 2.0) AS is_boilerplate
+FROM bstats
 """

@@ -210,6 +210,83 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def block_boilerplate(words_lined: DataFrame, lines: DataFrame,
+                      blocks: DataFrame,
+                      max_link_density: float = 0.33,
+                      min_text_density: float = 2.0) -> DataFrame:
+    """Text-density / link-density boilerplate classifier per block (the
+    north-star's DOM-heuristic signal — jusText/Boilerpipe-style rules
+    from Kohlschütter et al. 2010 and Pomikálek 2011, reimplemented from
+    the published rule text):
+
+      - link_density  = chars inside <a> spans / total chars in the block
+      - text_density  = words per assembled line in the block
+      - boilerplate iff link_density >= max_link_density (nav strips,
+        footer menus, related-links boxes) OR text_density <
+        min_text_density (sparse label/button clutter).
+
+    Inputs:
+      words_lined: word table WITH ``line_id`` (assign_line_ids output)
+        and a boolean ``is_link`` column (the HTML tokenizer emits it;
+        synthetic corpora derive it deterministically).
+      lines: assembled lines (needs url/page/line_id/line_number/text/
+        predominant_size — maps word line_ids to block line numbers).
+      blocks: form_blocks output (first/last_line_number per block).
+
+    Shape at scale: one word-sized groupBy on (url, page, line_id) — the
+    same key the line assembly already clusters on — then a
+    co-partitioned (url, page) equi-join with a residual line-range
+    predicate (lines x blocks per page is tiny), then a line-sized
+    groupBy per block. Densities divide two exact BIGINT sums, so the
+    doubles are bit-identical across engines regardless of sum order.
+    """
+    from ..functions.text import py_strip
+
+    line_stats = words_lined.groupBy("url", "page", "line_id").agg(
+        F.sum(F.length("text")).cast("long").alias("_chars"),
+        F.sum(
+            F.when(F.col("is_link"), F.length("text")).otherwise(0)
+        ).cast("long").alias("_link_chars"),
+        F.count("*").cast("long").alias("_words"),
+    )
+    # exactly the lines form_blocks admitted (same predicate), so the
+    # range join reproduces block membership
+    member_lines = (
+        lines.filter(
+            (py_strip(F.col("text")) != "")
+            & F.col("predominant_size").isNotNull()
+        )
+        .select("url", "page", "line_id", "line_number")
+        .join(line_stats, ["url", "page", "line_id"])
+    )
+    b = blocks.select(
+        "url", "page", "block_id", "first_line_number", "last_line_number"
+    )
+    member = member_lines.join(b, ["url", "page"]).filter(
+        F.col("line_number").between(
+            F.col("first_line_number"), F.col("last_line_number")
+        )
+    )
+    agg = member.groupBy("url", "page", "block_id").agg(
+        F.sum("_words").alias("n_words"),
+        F.sum("_chars").alias("n_chars"),
+        F.sum("_link_chars").alias("n_link_chars"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+    link_density = F.col("n_link_chars").cast("double") / F.col("n_chars")
+    text_density = F.col("n_words").cast("double") / F.col("n_lines")
+    return agg.select(
+        "url", "page", "block_id", "n_words", "n_chars", "n_link_chars",
+        "n_lines",
+        link_density.alias("link_density"),
+        text_density.alias("text_density"),
+        (
+            (link_density >= max_link_density)
+            | (text_density < min_text_density)
+        ).alias("is_boilerplate"),
+    )
+
+
 def repeated_spans(lines: DataFrame, min_pages: int = 3,
                    min_frac: float = 0.5) -> DataFrame:
     """Cross-page repeated-span hashing (the north-star's text-hash

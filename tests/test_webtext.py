@@ -159,3 +159,45 @@ def test_repeated_spans_geometry_independent(spark):
     assert len(h) == 1
     supports = {r["n_span_pages"] for r in got if r["line_number"] == 1}
     assert supports == {6}
+
+
+def test_block_boilerplate_flags_nav_not_prose(spark):
+    """Real HTML path: a nav strip that is 100% link text is flagged by
+    link density; a long prose paragraph with one inline link is kept."""
+    from pdf_plumber_util_spark.operators import (
+        assign_line_ids_window,
+        assemble_lines,
+        build_segments,
+        contextual_spacing_rules,
+        drop_blank_lines,
+        form_blocks,
+    )
+    from pdf_plumber_util_spark.operators.webtext import block_boilerplate
+    from pdf_plumber_util_spark.sources.tokenizer import page_dims, tokenize_pages
+
+    html = (
+        "<header><a>Home</a> <a>About</a> <a>Products</a> <a>Contact</a>"
+        " <a>Login</a></header>"
+        + "".join(
+            f"<p>Paragraph {i} has plenty of plain running prose words and"
+            f" exactly one <a>inline link</a> among many ordinary words"
+            f" that keep the link density far below the nav strip.</p>"
+            for i in range(4)
+        )
+    )
+    pages = spark.createDataFrame([("doc0", html.encode())], "url string, html binary")
+    w = tokenize_pages(pages)
+    wl = assign_line_ids_window(w)
+    lines = drop_blank_lines(assemble_lines(wl, build_segments(wl), page_dims(w)))
+    blocks = form_blocks(lines, contextual_spacing_rules(lines))
+    out = block_boilerplate(wl, lines, blocks).collect()
+    assert out, "no blocks produced"
+
+    nav = [r for r in out if r["n_link_chars"] == r["n_chars"]]
+    prose = [r for r in out if 0 < r["n_link_chars"] < r["n_chars"]]
+    assert nav and all(r["is_boilerplate"] for r in nav)
+    assert prose and not any(r["is_boilerplate"] for r in prose)
+    # every line the blocker admitted is accounted for exactly once
+    assert sum(r["n_lines"] for r in out) == blocks.agg(
+        {"n_lines": "sum"}
+    ).collect()[0][0]
