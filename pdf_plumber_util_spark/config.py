@@ -42,6 +42,14 @@ class EngineConfig:
     # with the cap, pages past the cumulative limit are dropped before
     # assembly and the row is flagged body_truncated.
     max_body_chars: int | None = None
+    # opt-in DOM-heuristic boilerplate strip (operators/webtext.py
+    # block_boilerplate): blocks dominated by link text or label-sparse
+    # lines are dropped from the body alongside the geometric
+    # header/footer suppression. Off by default — the reference's output
+    # contract (byte-identical body text) has no such stage.
+    drop_boilerplate: bool = False
+    max_link_density: float = 0.33
+    min_text_density: float = 2.0
 
     @property
     def header_zone_pt(self) -> float:

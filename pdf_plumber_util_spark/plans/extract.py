@@ -186,6 +186,26 @@ def extract_documents(pages: DataFrame, cfg: EngineConfig = DEFAULT,
         F.countDistinct("page").alias("n_pages"),
     )
     bounds = final_boundaries(cands, doc_stats_df.select("url", "doc_bottom"))
+    if cfg.drop_boilerplate:
+        from ..operators.webtext import block_boilerplate
+
+        wl_flagged = (
+            wl if "is_link" in wl.columns
+            else wl.withColumn("is_link", F.lit(False))
+        )
+        bp = block_boilerplate(
+            wl_flagged, flines, blocks,
+            max_link_density=cfg.max_link_density,
+            min_text_density=cfg.min_text_density,
+        )
+        blocks = blocks.join(
+            bp.select(
+                "url", "page", "block_id",
+                F.col("is_boilerplate").alias("_boilerplate"),
+            ),
+            ["url", "page", "block_id"],
+            "left",
+        )
     body = body_text(blocks, bounds, max_body_chars=cfg.max_body_chars)
     return body.join(bounds, "url", "left").join(
         doc_stats_df.drop("doc_bottom"), "url", "left"

@@ -201,3 +201,32 @@ def test_block_boilerplate_flags_nav_not_prose(spark):
     assert sum(r["n_lines"] for r in out) == blocks.agg(
         {"n_lines": "sum"}
     ).collect()[0][0]
+
+
+def test_extract_documents_drop_boilerplate_optin(spark):
+    """extract_documents(drop_boilerplate=True) removes a MID-PAGE
+    related-links strip — the case the geometric header/footer zones
+    cannot catch — and counts it dropped; the default path keeps
+    byte-identical reference behavior (links text present)."""
+    from pdf_plumber_util_spark.config import EngineConfig
+    from pdf_plumber_util_spark.plans.extract import extract_documents
+
+    prose = [
+        f"<p>Body paragraph {i} carries plenty of ordinary prose words"
+        f" with no anchors at all in this sentence of the page.</p>"
+        for i in range(4)
+    ]
+    links = "<h3><a>Related</a> <a>Trending</a> <a>Popular</a> <a>Archive</a></h3>"
+    html = "".join(prose[:2]) + links + "".join(prose[2:])
+    pages = spark.createDataFrame([("d0", html.encode())], "url string, html binary")
+
+    plain = extract_documents(pages).collect()[0]
+    assert "Trending" in plain["body_text"]
+
+    stripped = extract_documents(
+        pages, cfg=EngineConfig(drop_boilerplate=True)
+    ).collect()[0]
+    assert "Trending" not in stripped["body_text"]
+    assert "Body paragraph 2" in stripped["body_text"]
+    assert stripped["n_blocks_dropped"] == plain["n_blocks_dropped"] + 1
+    assert stripped["n_blocks_kept"] == plain["n_blocks_kept"] - 1
