@@ -1726,3 +1726,140 @@ SELECT url, page, CAST(block_id AS BIGINT) AS block_id,
    OR CAST(n_words AS DOUBLE) / n_lines < 2.0) AS is_boilerplate
 FROM bstats
 """
+
+
+# ------------------------------------------ crawl-curation additions (r3)
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl stats over the messy-url corpus (host skew finder:
+    dup.example.com carries 10x the docs of every srcN host)."""
+    from .operators.webtext import host_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = _messy_urls(docs).join(docs.select("doc_id", "text"), "doc_id")
+    return host_stats(urls)
+
+
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-host document cap (two-level salted top-n; the
+    selection is exactly the single-window answer)."""
+    from .operators.webtext import cap_per_host
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_host(
+        _messy_urls(docs), max_per_host=3
+    ).select("doc_id", "host", "url")
+
+
+def q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc shared-span contamination over the winnowing selection
+    (t4's fingerprints): fraction of a doc's fingerprints shared by >= 5
+    docs; threshold 0.33 splits the corpus (non-vacuous flag)."""
+    from .operators.text_analysis import shared_span_stats
+
+    return shared_span_stats(
+        load_table(spark, sf_dir, "documents"),
+        min_docs=5, max_shared_frac=0.33, max_doc_id=50,
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (top-2-gram + dup-5-gram char
+    fractions); 0.08 top-gram threshold splits the corpus."""
+    from .operators.text_analysis import repetition_stats
+
+    return repetition_stats(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100),
+        max_top_frac=0.08,
+    )
+
+
+EXTRA_QUERIES.update({
+    "u2_host_stats": q_host_stats,
+    "u3_host_cap": q_host_cap,
+    "t8_shared_spans": q_shared_spans,
+    "t9_repetition": q_repetition,
+})
+
+EXTRA_ORACLES.update({
+    "u2_host_stats": _MESSY_URLS_SQL + r"""
+, hosted AS (
+  SELECT c.doc_id, lower(regexp_extract(c.url, '^[^:]+://([^/?#:]+)', 1)) AS host,
+    c.canonical_url, length(d.text) AS chars
+  FROM canon c JOIN documents d USING (doc_id)
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_canonical_urls,
+  CAST(SUM(chars) AS BIGINT) AS total_chars,
+  CAST(SUM(chars) AS DOUBLE) / COUNT(*) AS mean_chars
+FROM hosted GROUP BY host
+""",
+    "u3_host_cap": _MESSY_URLS_SQL + r"""
+SELECT doc_id, lower(regexp_extract(url, '^[^:]+://([^/?#:]+)', 1)) AS host, url
+FROM messy
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY lower(regexp_extract(url, '^[^:]+://([^/?#:]+)', 1))
+  ORDER BY doc_id) <= 3
+""",
+})
+
+EXTRA_ORACLES["t8_shared_spans"] = f"""
+WITH fps AS (SELECT * FROM ({EXTRA_ORACLES['t4_winnowing']}) _t),
+dfc AS (
+  SELECT fingerprint, COUNT(DISTINCT doc_id) AS dfd FROM fps GROUP BY fingerprint
+),
+per_doc AS (
+  SELECT f.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+    CAST(SUM(CASE WHEN d.dfd >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM fps f JOIN dfc d USING (fingerprint) GROUP BY f.doc_id
+)
+SELECT doc_id, n_fingerprints, n_shared,
+  CAST(n_shared AS DOUBLE) / n_fingerprints AS shared_frac,
+  CAST(n_shared AS DOUBLE) / n_fingerprints >= 0.33 AS is_template_heavy
+FROM per_doc
+"""
+
+EXTRA_ORACLES["t9_repetition"] = r"""
+WITH base AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS doc_chars,
+    regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id < 100
+), tg0 AS (
+  SELECT doc_id, doc_chars, toks, unnest(range(1, len(toks))) AS i
+  FROM base WHERE len(toks) >= 2
+), tg AS (
+  SELECT doc_id, doc_chars,
+    list_extract(toks, CAST(i AS INT)) || ' '
+      || list_extract(toks, CAST(i AS INT) + 1) AS g
+  FROM tg0
+), dg0 AS (
+  SELECT doc_id, doc_chars, toks, unnest(range(1, len(toks) - 3)) AS i
+  FROM base WHERE len(toks) >= 5
+), dg AS (
+  SELECT doc_id, doc_chars,
+    list_extract(toks, CAST(i AS INT)) || ' '
+      || list_extract(toks, CAST(i AS INT) + 1) || ' '
+      || list_extract(toks, CAST(i AS INT) + 2) || ' '
+      || list_extract(toks, CAST(i AS INT) + 3) || ' '
+      || list_extract(toks, CAST(i AS INT) + 4) AS g
+  FROM dg0
+), top AS (
+  SELECT doc_id, doc_chars,
+    FIRST(g ORDER BY c DESC, g DESC) AS top_gram,
+    FIRST(CAST(length(g) AS BIGINT) * c ORDER BY c DESC, g DESC) AS top_chars
+  FROM (SELECT doc_id, doc_chars, g, COUNT(*) AS c FROM tg GROUP BY 1, 2, 3)
+  GROUP BY doc_id, doc_chars
+), dup AS (
+  SELECT doc_id, SUM(CAST(length(g) AS BIGINT) * c) AS dup_chars
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM dg GROUP BY 1, 2)
+  WHERE c > 1 GROUP BY doc_id
+)
+SELECT t.doc_id, t.top_gram,
+  CAST(t.top_chars AS DOUBLE) / t.doc_chars AS top_gram_frac,
+  CAST(COALESCE(d.dup_chars, 0) AS DOUBLE) / t.doc_chars AS dup_gram_frac,
+  (CAST(t.top_chars AS DOUBLE) / t.doc_chars <= 0.08
+   AND CAST(COALESCE(d.dup_chars, 0) AS DOUBLE) / t.doc_chars <= 0.15) AS keep
+FROM top t LEFT JOIN dup d USING (doc_id)
+"""

@@ -192,3 +192,122 @@ def token_counts_bpe(docs: DataFrame, encoding: str = "cl100k_base") -> DataFram
         n_bpe(F.col("text")).alias("n_tokens_bpe"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+def shared_span_stats(docs: DataFrame, k: int = 8, w: int = 4,
+                      min_docs: int = 5, max_shared_frac: float = 0.8,
+                      max_doc_id: int | None = None) -> DataFrame:
+    """Cross-document shared-span contamination per doc: the fraction of
+    a document's winnowing fingerprints that also occur in >= min_docs
+    distinct documents. High fractions mark template/mirror pages whose
+    text is mostly spans copied across the corpus — the cross-doc
+    complement of the near-dup pair detectors (a page can be 80% template
+    without any single near-duplicate partner).
+
+    Shape at scale: winnow_fingerprints is map-side; then one groupBy on
+    the uniform md5 fingerprint key (partial agg + distinct expand) and
+    one fingerprint-keyed join back — no skewed keys, no all-pairs.
+    shared_frac divides two exact BIGINTs.
+    """
+    fps = winnow_fingerprints(docs, k=k, w=w, max_doc_id=max_doc_id)
+    df_counts = fps.groupBy("fingerprint").agg(
+        F.countDistinct("doc_id").alias("_df")
+    )
+    per_doc = fps.join(df_counts, "fingerprint").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fingerprints"),
+        F.sum(F.when(F.col("_df") >= min_docs, 1).otherwise(0))
+        .cast("long").alias("n_shared"),
+    )
+    frac = F.col("n_shared").cast("double") / F.col("n_fingerprints")
+    return per_doc.select(
+        "doc_id", "n_fingerprints", "n_shared",
+        frac.alias("shared_frac"),
+        (frac >= max_shared_frac).alias("is_template_heavy"),
+    )
+
+
+def repetition_stats(docs: DataFrame, top_gram_n: int = 2,
+                     dup_gram_n: int = 5,
+                     max_top_frac: float = 0.20,
+                     max_dup_frac: float = 0.15) -> DataFrame:
+    """Gopher-style intra-document repetition gates (Rae et al. 2021
+    App. A1.1 repetition subset, reimplemented from the rule text):
+
+      - top_gram_frac: chars of the single most frequent word n-gram
+        (n=top_gram_n), counted over all its occurrences, / doc chars.
+      - dup_gram_frac: chars of every n-gram (n=dup_gram_n) occurring
+        more than once, counted over all occurrences, / doc chars.
+        Overlapping occurrences each count (documented deviation kept
+        identical in the oracle).
+
+    Ties on the top gram break to the lexicographically greatest gram at
+    the max count (deterministic). keep = both fractions at or under
+    their thresholds.
+
+    Shape at scale: explode to (doc_id, gram) — bounded amplification of
+    ~words-per-doc rows — then two partial-agg groupBys keyed by
+    (doc_id, gram) and doc_id; both keys uniform. Fractions divide exact
+    BIGINTs. Documents with fewer than top_gram_n words are omitted from
+    the output (no gram exists to score).
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+
+    def grams(gn: int):
+        # guard: sequence(1, 0) would DESCEND in Spark, not return empty
+        return F.when(
+            n >= gn,
+            F.transform(
+                F.sequence(F.lit(1), n - (gn - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(gn)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = docs.select(
+        "doc_id", F.length("text").cast("long").alias("_doc_chars"),
+        grams(top_gram_n).alias("_tg"), grams(dup_gram_n).alias("_dg"),
+    )
+    tg = base.select("doc_id", "_doc_chars", F.explode("_tg").alias("g"))
+    dg = base.select("doc_id", "_doc_chars", F.explode("_dg").alias("g"))
+
+    top = (
+        tg.groupBy("doc_id", "_doc_chars", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("doc_id", "_doc_chars")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("g").alias("g"),
+                    (F.length("g").cast("long") * F.col("c")).alias("chars"),
+                ),
+                F.struct("c", "g"),
+            ).alias("_top")
+        )
+        .select(
+            "doc_id", "_doc_chars",
+            F.col("_top")["g"].alias("top_gram"),
+            F.col("_top")["chars"].alias("_top_chars"),
+        )
+    )
+    dup = (
+        dg.groupBy("doc_id", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+        .filter(F.col("c") > 1)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.length("g").cast("long") * F.col("c")).alias("_dup_chars")
+        )
+    )
+    out = top.join(dup, "doc_id", "left").na.fill({"_dup_chars": 0})
+    top_frac = F.col("_top_chars").cast("double") / F.col("_doc_chars")
+    dup_frac = F.col("_dup_chars").cast("double") / F.col("_doc_chars")
+    return out.select(
+        "doc_id", "top_gram",
+        top_frac.alias("top_gram_frac"),
+        dup_frac.alias("dup_gram_frac"),
+        (
+            (top_frac <= max_top_frac) & (dup_frac <= max_dup_frac)
+        ).alias("keep"),
+    )

@@ -19,7 +19,7 @@ the rules, no code consulted):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text_analysis import LANG_STOPWORDS
@@ -99,6 +99,67 @@ def url_dedup(df: DataFrame, url_col: str = "url",
         "canonical_id",
         "group_size",
         (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+    )
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host part of a URL (port excluded)."""
+    return F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#:]+)", 1))
+
+
+def host_stats(df: DataFrame, url_col: str = "url",
+               text_col: str = "text") -> DataFrame:
+    """Per-host crawl curation stats: document count, distinct canonical
+    urls, and char mass. The host distribution of a crawl is exactly the
+    skew the north rule calls out — this is the aggregation that FINDS
+    the skewed hosts (feed its output to cap_per_host or to a salting
+    list).
+
+    Shape at scale: one groupBy on host with partial (map-side)
+    aggregation; countDistinct adds the standard two-phase expand. Heavy
+    hosts are heavy KEYS, which AQE's skew-split handles on the reduce
+    side. mean_chars divides two exact BIGINTs.
+    """
+    h = df.select(
+        host_of(F.col(url_col)).alias("host"),
+        canonical_url(F.col(url_col)).alias("_canon"),
+        F.length(text_col).cast("long").alias("_chars"),
+    )
+    return h.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("_canon").cast("long").alias("n_canonical_urls"),
+        F.sum("_chars").alias("total_chars"),
+        (F.sum("_chars").cast("double") / F.count("*")).alias("mean_chars"),
+    )
+
+
+def cap_per_host(df: DataFrame, url_col: str = "url",
+                 id_col: str = "doc_id", max_per_host: int = 100,
+                 salt_buckets: int = 16) -> DataFrame:
+    """Deterministic per-host document cap (keep the ``max_per_host``
+    lowest ids per host) — the standard anti-spam / diversity gate over
+    a crawl.
+
+    Two-level top-n so a mega-host never serializes in one task: rank
+    within (host, salt) first — every task bounded by its salt slice —
+    keep <= n per slice, then rank the <= salt_buckets * n survivors per
+    host for the exact global answer. Output rows are a subset of the
+    input (plus the host column); selection is exact and identical to a
+    single-window rank because per-salt survivors are a superset of the
+    global top-n.
+    """
+    d = df.withColumn("host", host_of(F.col(url_col))).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy("host", "_salt").orderBy(id_col)
+    surv = d.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= max_per_host
+    )
+    w2 = Window.partitionBy("host").orderBy(id_col)
+    return (
+        surv.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= max_per_host)
+        .drop("_salt", "_r1", "_r2")
     )
 
 

@@ -355,3 +355,108 @@ def test_near_dup_pipeline_planted_duplicates(spark):
     assert out[3] == (0, True)
     assert out[4] == (4, False)
     assert out[5] == (5, False)
+
+
+# ------------------------------------------ crawl-curation additions (r3)
+
+
+def test_repetition_stats_planted(spark):
+    from pdf_plumber_util_spark.operators.text_analysis import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 0: pathological 2-gram loop -> top_gram_frac huge
+            (0, "spam ham " * 30),
+            # 1: one exact repeated 5-gram inside otherwise-unique text
+            (1, "alpha beta gamma delta epsilon zeta "
+                "alpha beta gamma delta epsilon " + " ".join(
+                    f"w{i}" for i in range(40))),
+            # 2: all-unique words -> dup frac 0, tiny top frac
+            (2, " ".join(f"u{i}" for i in range(60))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[0]["top_gram"] in ("spam ham", "ham spam")
+    assert out[0]["top_gram_frac"] > 0.4 and not out[0]["keep"]
+    assert out[1]["dup_gram_frac"] > 0.0
+    assert out[2]["dup_gram_frac"] == 0.0 and out[2]["keep"]
+
+
+def test_repetition_stats_short_docs_omitted(spark):
+    from pdf_plumber_util_spark.operators.text_analysis import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "solo"), (1, "two words here ok")], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in repetition_stats(docs).collect()}
+    assert got == {1}  # one-word doc has no 2-gram, silently omitted
+
+
+def test_shared_span_stats_planted(spark):
+    from pdf_plumber_util_spark.operators.text_analysis import shared_span_stats
+
+    template = "subscribe to our newsletter for daily updates and offers"
+    docs = spark.createDataFrame(
+        [(i, template + f" unique tail number {i} with extra words")
+         for i in range(5)]
+        + [(5, "totally distinct prose that shares nothing with others xyzzy")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           shared_span_stats(docs, min_docs=5, max_shared_frac=0.5).collect()}
+    for i in range(5):
+        assert out[i]["n_shared"] > 0
+        assert out[i]["shared_frac"] > 0.5 and out[i]["is_template_heavy"]
+    assert out[5]["n_shared"] == 0 and not out[5]["is_template_heavy"]
+
+
+def test_cap_per_host_exact_and_skew_safe(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pdf_plumber_util_spark.operators.webtext import cap_per_host, host_of
+
+    rows = [(i, f"https://mega.example.com/p/{i}") for i in range(200)] + [
+        (1000 + i, f"https://tiny{i}.example.com/x") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = cap_per_host(df, max_per_host=4, salt_buckets=8)
+    # reference: plain single-window rank
+    want = (
+        df.withColumn("host", host_of(F.col("url")))
+        .withColumn(
+            "_r", F.row_number().over(
+                Window.partitionBy("host").orderBy("doc_id"))
+        )
+        .filter(F.col("_r") <= 4)
+        .drop("_r")
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+    # mega host capped to exactly 4 lowest ids
+    mega = sorted(
+        r["doc_id"] for r in got.filter(
+            F.col("host") == "mega.example.com").collect()
+    )
+    assert mega == [0, 1, 2, 3]
+
+
+def test_host_stats_counts(spark):
+    from pdf_plumber_util_spark.operators.webtext import host_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://A.example.com/x?utm_source=z", "aaaa"),
+            (1, "https://a.example.com/x", "bbbbbb"),      # same canon as 0
+            (2, "https://a.example.com/y", "cc"),
+            (3, "https://b.example.com/", "dddd"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    out = {r["host"]: r for r in host_stats(df).collect()}
+    a = out["a.example.com"]
+    assert (a["n_docs"], a["n_canonical_urls"], a["total_chars"]) == (3, 2, 12)
+    assert a["mean_chars"] == 4.0
+    assert out["b.example.com"]["n_docs"] == 1
