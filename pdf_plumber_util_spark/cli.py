@@ -68,11 +68,16 @@ def cmd_extract(args) -> int:
     words = tokenize_pages(pages)
     lines = extract_lines(pages, cfg)
     if args.page_range:
-        lines = filter_page_range(lines, args.page_range, 10**9)
-        words = filter_page_range(words, args.page_range, 10**9)
+        lines = filter_page_range(lines, args.page_range)
+        words = filter_page_range(words, args.page_range)
     lines_path = write_stage(lines, args.output, args.basename, "lines")
+    # re-read the landed stage for the line-side aggregate so the info job
+    # reruns the tokenizer only for the word counts (not the whole line
+    # pipeline again); each write is its own job, so lineage would
+    # otherwise re-execute the pandas tokenizer per branch
+    lines_back = spark.read.parquet(lines_path)
     info_path = write_stage(
-        extraction_info(lines, words), args.output, args.basename, "info"
+        extraction_info(lines_back, words), args.output, args.basename, "info"
     )
     print(json.dumps({"lines": lines_path, "info": info_path}))
     return 0
@@ -98,10 +103,19 @@ def cmd_analyze(args) -> int:
     bounds = final_boundaries(cands, doc_bottom)
     rules_path = write_stage(rules, args.output, args.basename, "rules")
 
-    # K3 text report, driver-side from the tiny aggregates
+    # K3 text report, driver-side from the tiny aggregates — but only for
+    # the urls actually rendered: pick the report set FIRST, then filter
+    # every collected frame to it, so the driver materialization is
+    # bounded by --report-docs, not corpus size
+    report_urls = [
+        r["url"]
+        for r in lines.select("url").distinct()
+        .orderBy("url").limit(args.report_docs).collect()
+    ]
     stats = {
         r["url"]: r.asDict()
-        for r in lines.groupBy("url")
+        for r in lines.filter(F.col("url").isin(report_urls))
+        .groupBy("url")
         .agg(
             F.mode("predominant_font").alias("most_common_font"),
             F.mode("predominant_size").alias("most_common_size"),
@@ -110,9 +124,12 @@ def cmd_analyze(args) -> int:
         .collect()
     }
     rule_rows: dict[str, list[dict]] = {}
-    for r in rules.collect():
+    for r in rules.filter(F.col("url").isin(report_urls)).collect():
         rule_rows.setdefault(r["url"], []).append(r.asDict())
-    bound_rows = {r["url"]: r.asDict() for r in bounds.collect()}
+    bound_rows = {
+        r["url"]: r.asDict()
+        for r in bounds.filter(F.col("url").isin(report_urls)).collect()
+    }
     report_path = os.path.join(args.output, f"{args.basename}_report.txt")
     os.makedirs(args.output, exist_ok=True)
     with open(report_path, "w") as fh:

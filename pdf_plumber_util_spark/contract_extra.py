@@ -1486,8 +1486,8 @@ WITH messy AS (
 ), parts AS (
   SELECT doc_id, url,
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
-    lower(regexp_extract(url, '^[^:]+://([^/?#:]+)', 1)) AS host,
-    regexp_extract(url, '^[^:]+://[^/?#:]+:(\d+)', 1) AS port,
+    lower(regexp_extract(url, '^[^:]+://(?:[^/?#]*@)?(\[[^\]]+\]|[^/?#:@]+)', 1)) AS host,
+    regexp_extract(url, '^[^:]+://(?:[^/?#]*@)?(?:\[[^\]]+\]|[^/?#:@]+):(\d+)', 1) AS port,
     regexp_extract(url, '^[^:]+://[^/?#]+([^?#]*)', 1) AS path,
     regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS query
   FROM messy
@@ -1582,7 +1582,7 @@ FROM canon c JOIN grp g USING (canonical_url)
 WITH g AS (
   SELECT doc_id,
     regexp_split_to_array(trim(text), '\s+') AS toks,
-    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) AS stop_hits
+    len(list_distinct(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b'))) AS stop_hits
   FROM documents
 ), m AS (
   SELECT doc_id,
@@ -1785,7 +1785,7 @@ EXTRA_QUERIES.update({
 EXTRA_ORACLES.update({
     "u2_host_stats": _MESSY_URLS_SQL + r"""
 , hosted AS (
-  SELECT c.doc_id, lower(regexp_extract(c.url, '^[^:]+://([^/?#:]+)', 1)) AS host,
+  SELECT c.doc_id, lower(regexp_extract(c.url, '^[^:]+://(?:[^/?#]*@)?(\[[^\]]+\]|[^/?#:@]+)', 1)) AS host,
     c.canonical_url, length(d.text) AS chars
   FROM canon c JOIN documents d USING (doc_id)
 )
@@ -1796,10 +1796,10 @@ SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM hosted GROUP BY host
 """,
     "u3_host_cap": _MESSY_URLS_SQL + r"""
-SELECT doc_id, lower(regexp_extract(url, '^[^:]+://([^/?#:]+)', 1)) AS host, url
+SELECT doc_id, lower(regexp_extract(url, '^[^:]+://(?:[^/?#]*@)?(\[[^\]]+\]|[^/?#:@]+)', 1)) AS host, url
 FROM messy
 QUALIFY ROW_NUMBER() OVER (
-  PARTITION BY lower(regexp_extract(url, '^[^:]+://([^/?#:]+)', 1))
+  PARTITION BY lower(regexp_extract(url, '^[^:]+://(?:[^/?#]*@)?(\[[^\]]+\]|[^/?#:@]+)', 1))
   ORDER BY doc_id) <= 3
 """,
 })

@@ -291,6 +291,20 @@ def near_dup_pipeline(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # labels are still moving after max_cc_iter rounds: a component
+        # with diameter > max_cc_iter would get SPLIT canonical ids.
+        # Surface it instead of returning silently inconsistent clusters.
+        import warnings
+
+        warnings.warn(
+            f"near_dup_pipeline: min-label propagation did not converge "
+            f"in {max_cc_iter} rounds; a connected component wider than "
+            f"that carries inconsistent canonical_id values — raise "
+            f"max_cc_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels.select(
         "doc_id", "canonical_id",

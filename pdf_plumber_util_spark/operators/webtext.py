@@ -36,7 +36,8 @@ def canonical_url(url: Column) -> Column:
     """Canonical form of a URL as a single Column expression.
 
     Rules (each one a crawl-dedup staple):
-      - scheme and host lowercased
+      - scheme and host lowercased; userinfo (user:pass@) stripped;
+        IPv6 literals keep their brackets
       - default ports dropped (http:80, https:443); other ports kept
       - path: runs of '/' collapsed, trailing '/' stripped, '' -> '/'
       - query: tracking params (TRACKING_PARAM_RE) removed, remaining
@@ -44,8 +45,12 @@ def canonical_url(url: Column) -> Column:
       - fragment always dropped
     """
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    host = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#:]+)", 1))
-    port = F.regexp_extract(url, r"^[^:]+://[^/?#:]+:(\d+)", 1)
+    # authority = [userinfo@]host[:port]; userinfo is STRIPPED (credential
+    # variants of one url are one crawl target), and an IPv6 literal keeps
+    # its brackets so host:port stays parseable
+    auth = r"^[^:]+://(?:[^/?#]*@)?"
+    host = F.lower(F.regexp_extract(url, auth + r"(\[[^\]]+\]|[^/?#:@]+)", 1))
+    port = F.regexp_extract(url, auth + r"(?:\[[^\]]+\]|[^/?#:@]+):(\d+)", 1)
     path = F.regexp_extract(url, r"^[^:]+://[^/?#]+([^?#]*)", 1)
     # Anchor to the pre-fragment prefix: a '?' occurring after '#' is part
     # of the fragment (RFC 3986) and must not be read as a query string.
@@ -103,8 +108,14 @@ def url_dedup(df: DataFrame, url_col: str = "url",
 
 
 def host_of(url: Column) -> Column:
-    """Lowercased host part of a URL (port excluded)."""
-    return F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#:]+)", 1))
+    """Lowercased host part of a URL (port and userinfo excluded; IPv6
+    literals keep their brackets) — same authority grammar as
+    canonical_url."""
+    return F.lower(
+        F.regexp_extract(
+            url, r"^[^:]+://(?:[^/?#]*@)?(\[[^\]]+\]|[^/?#:@]+)", 1
+        )
+    )
 
 
 def host_stats(df: DataFrame, url_col: str = "url",
@@ -185,7 +196,14 @@ def gopher_quality(docs: DataFrame, min_words: int = 50,
         F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / n_words
     )
     sw = "|".join(LANG_STOPWORDS["en"])
-    stop_hits = F.size(F.regexp_extract_all(F.lower("text"), F.lit(rf"\b({sw})\b"), 0))
+    # DISTINCT stopwords present (Gopher: "contain at least 2 of the
+    # following ... words"), not total occurrences — a doc whose only
+    # stopword content is "the ... the" has ONE stopword of evidence
+    stop_hits = F.size(
+        F.array_distinct(
+            F.regexp_extract_all(F.lower("text"), F.lit(rf"\b({sw})\b"), 0)
+        )
+    )
     return docs.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -76,9 +76,48 @@ def parse_page_range(spec: str, max_page: int) -> list[int]:
     return sorted(pages)
 
 
-def filter_page_range(df: DataFrame, spec: str, max_page: int) -> DataFrame:
-    """S3: include-set page filter (Iceberg partition pruning upstream)."""
-    return df.filter(F.col("page").isin(parse_page_range(spec, max_page)))
+def page_range_predicate(spec: str, max_page: int | None = None) -> Column:
+    """S3 as a Column predicate: '1-3,5' -> page BETWEEN 1 AND 3 OR
+    page = 5. Intervals stay intervals — an open-ended '10-' is just
+    `page >= 10`, never a materialized list — so the driver cost is the
+    number of comma-separated parts, not the page span (parse_page_range
+    would build a billion-int set for '10-' on a big corpus).
+    Malformed parts raise a structured PageRangeError."""
+    from ..exceptions import PageRangeError
+
+    terms: list[Column] = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        try:
+            if "-" in part:
+                lo, hi = part.split("-", 1)
+                lo_i = int(lo) if lo else 1
+                hi_i = int(hi) if hi else max_page
+                if hi_i is None:
+                    terms.append(F.col("page") >= lo_i)
+                else:
+                    terms.append(F.col("page").between(lo_i, hi_i))
+            else:
+                terms.append(F.col("page") == int(part))
+        except ValueError as e:
+            raise PageRangeError(spec, original_error=e) from e
+    if not terms:
+        return F.lit(False)
+    pred = terms[0]
+    for t in terms[1:]:
+        pred = pred | t
+    if max_page is not None:
+        pred = pred & (F.col("page") <= max_page)
+    return pred
+
+
+def filter_page_range(df: DataFrame, spec: str,
+                      max_page: int | None = None) -> DataFrame:
+    """S3: page filter as an interval predicate (pushes down to the scan /
+    Iceberg partition pruning; open-ended ranges never materialize)."""
+    return df.filter(page_range_predicate(spec, max_page))
 
 
 def extraction_info(lines: DataFrame, words: DataFrame) -> DataFrame:

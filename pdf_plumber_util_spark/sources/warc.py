@@ -67,6 +67,15 @@ def build_record(url: str, ts: datetime, payload: bytes) -> bytes:
     return headers + _CRLF + payload + _CRLF + _CRLF
 
 
+def _parse_warc_date(s: str) -> datetime | None:
+    for fmt in (_DATE_FMT, "%Y-%m-%dT%H:%M:%SZ"):
+        try:
+            return datetime.strptime(s, fmt)
+        except ValueError:
+            pass
+    return None
+
+
 def split_records(blob: bytes) -> Iterator[tuple[str, datetime, bytes]]:
     """Iterate (url, ts, payload) from a raw or multi-member-gzip blob.
 
@@ -86,18 +95,30 @@ def split_records(blob: bytes) -> Iterator[tuple[str, datetime, bytes]]:
     pos = 0
     n = len(blob)
     while pos < n:
-        head_end = blob.index(_CRLF + _CRLF, pos)
+        head_end = blob.find(_CRLF + _CRLF, pos)
+        if head_end < 0:  # trailing garbage / truncated record: stop
+            break
         header = blob[pos:head_end].decode("utf-8", "replace")
         fields: dict[str, str] = {}
         for line in header.split("\r\n")[1:]:
             k, _, v = line.partition(":")
             fields[k.strip().lower()] = v.strip()
-        length = int(fields["content-length"])
+        try:
+            length = int(fields["content-length"])
+        except (KeyError, ValueError):
+            break  # Content-Length IS the framing; without it, resync is unsafe
         body_start = head_end + 4
         payload = blob[body_start : body_start + length]
-        ts = datetime.strptime(fields["warc-date"], _DATE_FMT)
-        yield fields["warc-target-uri"], ts, payload
         pos = body_start + length + 4  # skip record-separator CRLFCRLF
+        # poison-record isolation (the tokenizer's per-doc principle):
+        # warcinfo/request/metadata records carry no Target-URI — skip,
+        # don't crash the task; dates appear with and without fractional
+        # seconds in the wild
+        uri = fields.get("warc-target-uri")
+        ts = _parse_warc_date(fields.get("warc-date", ""))
+        if uri is None or ts is None:
+            continue
+        yield uri, ts, payload
 
 
 def to_warc_records(pages: DataFrame) -> DataFrame:

@@ -20,11 +20,15 @@ construction of crawl dumps, mirrored by partitioned parquet input).
 run over the same files — pinned by tests/test_streaming.py.
 
 Scale shape: ``maxFilesPerTrigger`` bounds a trigger's working set (the
-streaming analog of the resumable writer's bucket); the per-batch sink
-append is the same dynamic-partition write discipline as the batch
-sidecar; the checkpoint (WAL + sources/0 file log) lives on the cluster
-FS and survives driver restarts. Exactly-once lands via the file-sink
-transaction log when the sink is a Spark file sink (used here).
+streaming analog of the resumable writer's bucket); the checkpoint
+(WAL + sources/0 file log) lives on the cluster FS and survives driver
+restarts. ``foreachBatch`` itself is AT-LEAST-ONCE (a batch can rerun if
+the driver dies between the sink write and the offset commit), so the
+sink write is made idempotent: each batch lands in its own ``_batch_id``
+partition via dynamic partition overwrite — a replayed batch overwrites
+the same partition instead of appending duplicates — and the per-batch
+metrics sidecar file is keyed by batch_id (tmp+rename publish). The
+composition is effectively exactly-once.
 """
 
 from __future__ import annotations
@@ -45,6 +49,25 @@ def stream_pages(spark: SparkSession, pages_dir: str, schema=None,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(pages_dir)
+
+
+def write_batch_idempotent(docs: DataFrame, out_dir: str,
+                           batch_id: int) -> None:
+    """Idempotent-on-replay micro-batch sink: foreachBatch is
+    at-least-once (a batch can rerun if the driver dies between the sink
+    write and the offset commit), so each batch lands in its own
+    ``_batch_id`` partition with dynamic partition overwrite — a replay
+    overwrites the SAME partition instead of appending duplicates (the
+    overwritePartitions discipline of plans/resume.py)."""
+    from pyspark.sql import functions as F
+
+    (
+        docs.withColumn("_batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(out_dir)
+    )
 
 
 def streaming_extract(pages_stream: DataFrame, out_dir: str,
@@ -71,15 +94,18 @@ def streaming_extract(pages_stream: DataFrame, out_dir: str,
             for c in caches:
                 c.unpersist()
 
+    def _write_batch(docs: DataFrame, batch_id: int) -> None:
+        write_batch_idempotent(docs, out_dir, batch_id)
+
     def _process_batch(spark, docs, batch_df, batch_id) -> None:
         if metrics_dir is None:
-            docs.write.mode("append").parquet(out_dir)
+            _write_batch(docs, batch_id)
             return
         from pyspark.sql import functions as F
 
         docs = docs.persist()
         try:
-            docs.write.mode("append").parquet(out_dir)
+            _write_batch(docs, batch_id)
             n_urls = batch_df.select("url").distinct().count()
             agg = docs.agg(
                 F.count("*").alias("n_docs"),

@@ -154,7 +154,9 @@ _PARAM_KEY = st.sampled_from(
 def _urls(draw):
     scheme = draw(st.sampled_from(["http", "HTTP", "https", "HTTPS", "hTTpS"]))
     host = draw(st.sampled_from(
-        ["Example.COM", "www.example.org", "A.b.C.de", "HOT0.example.com"]
+        ["Example.COM", "www.example.org", "A.b.C.de", "HOT0.example.com",
+         "alice@Example.COM", "u:Pw1@WWW.example.org", "[2001:DB8::1]",
+         "bob@[::1]"]
     ))
     port = draw(st.sampled_from(["", ":80", ":443", ":8080", ":8443"]))
     segs = draw(st.lists(_SEG, min_size=0, max_size=4))
@@ -181,6 +183,8 @@ def _canonical_twin(url: str) -> str:
     sp = urlsplit(url)
     scheme = sp.scheme.lower()
     host = (sp.hostname or "").lower()
+    if ":" in host:  # urlsplit strips IPv6 brackets; canonical form keeps them
+        host = f"[{host}]"
     port = ""
     if sp.port is not None and not (
         (scheme == "http" and sp.port == 80)

@@ -143,3 +143,21 @@ def test_streaming_extraction_parity_and_resume(spark, tmp_path):
     assert sum(r["n_docs"] for r in recs) == want.count()
     assert all(r["parse_failures"] == 0 for r in recs)
     all_pages.unpersist()
+
+
+def test_write_batch_idempotent_replay(spark, tmp_path):
+    """Replaying a micro-batch (at-least-once foreachBatch) overwrites its
+    own _batch_id partition instead of appending duplicates."""
+    from pdf_plumber_util_spark.streaming.extraction import write_batch_idempotent
+
+    out = str(tmp_path / "docs")
+    b0 = spark.createDataFrame([("u1", "a"), ("u2", "b")], "url string, body string")
+    write_batch_idempotent(b0, out, 0)
+    write_batch_idempotent(
+        spark.createDataFrame([("u3", "c")], "url string, body string"), out, 1
+    )
+    # crash-replay of batch 0
+    write_batch_idempotent(b0, out, 0)
+    got = spark.read.parquet(out)
+    assert sorted(r["url"] for r in got.collect()) == ["u1", "u2", "u3"]
+    assert got.filter("_batch_id = 0").count() == 2

@@ -83,3 +83,43 @@ def test_warc_batching_bounds_output_frames(spark):
         spark.createDataFrame([(blob,)], "content binary"), batch_rows=3
     )
     assert parsed.count() == 12
+
+
+def test_split_records_tolerates_warcinfo_and_garbage():
+    """Real Common-Crawl files open with a warcinfo record (no
+    WARC-Target-URI, date without fractional seconds) and may end with
+    truncated bytes; neither crashes the parser and only URI-bearing
+    records yield."""
+    from pdf_plumber_util_spark.sources.warc import build_record, split_records
+    from datetime import datetime
+
+    info_payload = b"software: test\r\n"
+    warcinfo = (
+        b"WARC/1.1\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"WARC-Date: 2023-01-01T00:00:15Z\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        b"Content-Length: " + str(len(info_payload)).encode() + b"\r\n"
+        b"\r\n" + info_payload + b"\r\n\r\n"
+    )
+    page = build_record("https://a.example.com/x",
+                        datetime(2024, 2, 3, 4, 5, 6, 789000), b"<p>hi</p>")
+    blob = warcinfo + page + b"\x00\x00trailing-garbage"
+    got = list(split_records(blob))
+    assert len(got) == 1
+    url, ts, payload = got[0]
+    assert url == "https://a.example.com/x" and payload == b"<p>hi</p>"
+    assert ts == datetime(2024, 2, 3, 4, 5, 6, 789000)
+
+
+def test_split_records_skips_dateless_record():
+    from pdf_plumber_util_spark.sources.warc import split_records
+
+    rec = (
+        b"WARC/1.1\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://b.example.com/\r\n"
+        b"WARC-Date: not-a-date\r\n"
+        b"Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    assert list(split_records(rec)) == []

@@ -230,3 +230,21 @@ def test_extract_documents_drop_boilerplate_optin(spark):
     assert "Body paragraph 2" in stripped["body_text"]
     assert stripped["n_blocks_dropped"] == plain["n_blocks_dropped"] + 1
     assert stripped["n_blocks_kept"] == plain["n_blocks_kept"] - 1
+
+
+def test_gopher_stop_hits_counts_distinct_stopwords(spark):
+    """Gopher rule: 'at least 2 OF THE listed words' — repeating one
+    stopword many times is one unit of evidence, not many."""
+    from pdf_plumber_util_spark.operators.webtext import gopher_quality
+
+    filler = " ".join(f"word{i}" for i in range(48))
+    docs = spark.createDataFrame(
+        [
+            (0, f"the {filler} the"),          # one distinct stopword, twice
+            (1, f"the {filler} of"),           # two distinct stopwords
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert got[0]["stop_hits"] == 1 and not got[0]["keep"]
+    assert got[1]["stop_hits"] == 2
