@@ -219,3 +219,68 @@ def test_canonical_url_matches_urllib_twin_and_is_idempotent(spark, urls):
     for u, (c1, c2) in zip(urls, got):
         assert c1 == _canonical_twin(u), (u, c1)
         assert c2 == c1, f"not idempotent: {u} -> {c1} -> {c2}"
+
+
+# ------------------------------------------------ crawl-curation ops
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from(["a.com", "b.com", "mega.com", "tiny.org"]),
+        ),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([1, 3, 8]),
+)
+@settings(max_examples=10, deadline=None)
+def test_cap_per_host_invariant_to_salt_buckets(spark, rows, buckets):
+    """The salted two-level top-n must select exactly the global top-n
+    per host, for any salt_buckets — equal to the pure-Python answer."""
+    from pdf_plumber_util_spark.operators.webtext import cap_per_host
+
+    df = spark.createDataFrame(
+        [(i, f"https://{h}/p/{i}") for i, h in rows], "doc_id long, url string"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in cap_per_host(df, max_per_host=3, salt_buckets=buckets).collect()
+    )
+    by_host: dict[str, list[int]] = {}
+    for i, h in rows:
+        by_host.setdefault(h, []).append(i)
+    want = sorted(i for ids in by_host.values() for i in sorted(ids)[:3])
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij".split()), min_size=2,
+                 max_size=30),
+        min_size=1, max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_repetition_stats_matches_python_twin(spark, docs_words):
+    """Spark repetition fractions equal an independent pure-Python
+    restatement (collections.Counter) on random small-vocab docs."""
+    from collections import Counter
+
+    from pdf_plumber_util_spark.operators.text_analysis import repetition_stats
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, ws in enumerate(docs_words):
+        text = " ".join(ws)
+        g2 = Counter(" ".join(ws[j:j + 2]) for j in range(len(ws) - 1))
+        # tie-break: max count, then lexicographically greatest gram
+        top_g = max(g2, key=lambda g: (g2[g], g))
+        assert got[i]["top_gram"] == top_g
+        assert got[i]["top_gram_frac"] == len(top_g) * g2[top_g] / len(text)
+        g5 = Counter(
+            " ".join(ws[j:j + 5]) for j in range(len(ws) - 4)
+        ) if len(ws) >= 5 else Counter()
+        dup = sum(len(g) * c for g, c in g5.items() if c > 1)
+        assert got[i]["dup_gram_frac"] == dup / len(text)
