@@ -60,7 +60,17 @@ def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Exact dedup on normalized-text md5: per doc its canonical doc
-    (min doc_id in the group) and group size."""
+    (min doc_id in the group) and group size.
+
+    Shape choice: groupBy + join-back, NOT `min/count over (partition by
+    fingerprint)` — the window form measured ~6x faster at bench scale
+    (one exchange, no join) but it serializes each fingerprint group in
+    ONE task, and crawl corpora contain million-doc identical groups
+    (empty pages, error pages) — exactly the rows a dedup exists to find.
+    The aggregate absorbs such a group map-side (partial agg) and AQE
+    skew-splits the join back, so the two-phase form is the one that
+    survives 100 TB.
+    """
     fp = docs.select("doc_id", F.md5(_norm(F.col("text"))).alias("fingerprint"))
     grp = fp.groupBy("fingerprint").agg(
         F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
