@@ -148,14 +148,19 @@ def combine_words_x(words: DataFrame, x_tol: float = 3.0) -> DataFrame:
     )
 
 
-def build_segments(words_with_lines: DataFrame) -> DataFrame:
+def build_segments(words_with_lines: DataFrame,
+                   with_link_stats: bool = False) -> DataFrame:
     """C3/C4: font/size/upright run split + segment aggregate
     (extractor.py:342-399). Single window pass, no joins.
 
     Output: one row per segment with
       url, page, line_id, seg_id, font, reported_size, rounded_size,
       direction, text (concatenated, stripped), bbox struct, seg_width
-      [+ page_width/page_height pass-through when present].
+      [+ page_width/page_height pass-through when present]
+      [+ seg_chars/seg_link_chars/seg_words when with_link_stats — three
+       extra sums in the SAME aggregate (zero added shuffles), summed per
+       line by assemble_lines for the boilerplate classifier; requires an
+       is_link word column].
     """
     w = Window.partitionBy("url", "page", "line_id").orderBy("x0", "word_idx")
     brk = (
@@ -174,6 +179,15 @@ def build_segments(words_with_lines: DataFrame) -> DataFrame:
     passthrough = [
         c for c in ("page_width", "page_height") if c in words_with_lines.columns
     ]
+    link_stats = []
+    if with_link_stats:
+        link_stats = [
+            F.sum(F.length("text")).cast("long").alias("seg_chars"),
+            F.sum(
+                F.when(F.col("is_link"), F.length("text")).otherwise(0)
+            ).cast("long").alias("seg_link_chars"),
+            F.count("*").cast("long").alias("seg_words"),
+        ]
     agg = df.groupBy("url", "page", "line_id", "seg_id").agg(
         F.array_sort(F.collect_list(F.struct("x0", "word_idx", "text"))).alias("_members"),
         F.min(F.struct("x0", "word_idx", "fontname", "size", "upright")).alias("_first"),
@@ -182,6 +196,7 @@ def build_segments(words_with_lines: DataFrame) -> DataFrame:
         F.max("x1").alias("_bx1"),
         F.max("bottom").alias("_bbot"),
         *[F.first(c).alias(c) for c in passthrough],
+        *link_stats,
     )
     # segment text: plain concat of member texts in (x0, word_idx) order,
     # then Python-str.strip() (extractor.py:375-399). array_join = single
@@ -207,6 +222,7 @@ def build_segments(words_with_lines: DataFrame) -> DataFrame:
         ).alias("bbox"),
         (F.col("_bx1") - F.col("_bx0")).alias("seg_width"),
         *passthrough,
+        *(["seg_chars", "seg_link_chars", "seg_words"] if with_link_stats else []),
     )
 
 
@@ -417,9 +433,23 @@ def _assemble_lines_windows(segs: DataFrame,
         .withColumn("_fs_font", F.min("seg_id").over(font_w))
     )
     maybe_info = [_info_agg().alias("_info")] if include_proportional else []
+    # seg-level link stats (build_segments with_link_stats) roll up to the
+    # line in the same aggregate — the boilerplate classifier reads them
+    # off the persisted lines with zero extra passes over words
+    has_link_stats = "seg_chars" in segs.columns
+    link_sums = (
+        [
+            F.sum("seg_chars").cast("long").alias("line_chars"),
+            F.sum("seg_link_chars").cast("long").alias("line_link_chars"),
+            F.sum("seg_words").cast("long").alias("line_words"),
+        ]
+        if has_link_stats
+        else []
+    )
     lines = enriched.groupBy("url", "page", "line_id").agg(
         _parts_agg(include_proportional).alias("_parts"),
         *maybe_info,
+        *link_sums,
         F.min(F.col("bbox")["x0"]).alias("_bx0"),
         F.min(F.col("bbox")["top"]).alias("_btop"),
         F.max(F.col("bbox")["x1"]).alias("_bx1"),
@@ -472,6 +502,8 @@ def _assemble_lines_windows(segs: DataFrame,
         cov(F.col("_best_font")).alias("predominant_font_coverage"),
         "page_width",
         "page_height",
+        *(["line_chars", "line_link_chars", "line_words"]
+          if has_link_stats else []),
     )
     wp = Window.partitionBy("url", "page").orderBy("line_id")
     return (

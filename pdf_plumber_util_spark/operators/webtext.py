@@ -289,7 +289,22 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def block_boilerplate(words_lined: DataFrame, lines: DataFrame,
+def line_link_stats(words_lined: DataFrame) -> DataFrame:
+    """Per-line char/link-char/word counts from a word table carrying
+    ``line_id`` and ``is_link`` — the word-sized half of
+    block_boilerplate, split out so a pipeline can compute it ONCE next
+    to line assembly (same (url, page, line_id) key) and persist it with
+    the lines instead of re-deriving words later."""
+    return words_lined.groupBy("url", "page", "line_id").agg(
+        F.sum(F.length("text")).cast("long").alias("line_chars"),
+        F.sum(
+            F.when(F.col("is_link"), F.length("text")).otherwise(0)
+        ).cast("long").alias("line_link_chars"),
+        F.count("*").cast("long").alias("line_words"),
+    )
+
+
+def block_boilerplate(words_lined: DataFrame | None, lines: DataFrame,
                       blocks: DataFrame,
                       max_link_density: float = 0.33,
                       min_text_density: float = 2.0) -> DataFrame:
@@ -307,7 +322,10 @@ def block_boilerplate(words_lined: DataFrame, lines: DataFrame,
     Inputs:
       words_lined: word table WITH ``line_id`` (assign_line_ids output)
         and a boolean ``is_link`` column (the HTML tokenizer emits it;
-        synthetic corpora derive it deterministically).
+        synthetic corpora derive it deterministically). May be None when
+        ``lines`` already carries the line_link_stats columns
+        (line_chars / line_link_chars / line_words) — the flagship path
+        attaches them before its persist so the tokenizer never reruns.
       lines: assembled lines (needs url/page/line_id/line_number/text/
         predominant_size — maps word line_ids to block line numbers).
       blocks: form_blocks output (first/last_line_number per block).
@@ -321,23 +339,34 @@ def block_boilerplate(words_lined: DataFrame, lines: DataFrame,
     """
     from ..functions.text import py_strip
 
-    line_stats = words_lined.groupBy("url", "page", "line_id").agg(
-        F.sum(F.length("text")).cast("long").alias("_chars"),
-        F.sum(
-            F.when(F.col("is_link"), F.length("text")).otherwise(0)
-        ).cast("long").alias("_link_chars"),
-        F.count("*").cast("long").alias("_words"),
+    admitted = lines.filter(
+        (py_strip(F.col("text")) != "")
+        & F.col("predominant_size").isNotNull()
     )
     # exactly the lines form_blocks admitted (same predicate), so the
     # range join reproduces block membership
-    member_lines = (
-        lines.filter(
-            (py_strip(F.col("text")) != "")
-            & F.col("predominant_size").isNotNull()
+    if "line_chars" in lines.columns:
+        member_lines = admitted.select(
+            "url", "page", "line_id", "line_number",
+            F.col("line_chars").alias("_chars"),
+            F.col("line_link_chars").alias("_link_chars"),
+            F.col("line_words").alias("_words"),
         )
-        .select("url", "page", "line_id", "line_number")
-        .join(line_stats, ["url", "page", "line_id"])
-    )
+    else:
+        if words_lined is None:
+            raise ValueError(
+                "block_boilerplate: pass words_lined or lines carrying "
+                "line_link_stats columns"
+            )
+        stats = line_link_stats(words_lined).select(
+            "url", "page", "line_id",
+            F.col("line_chars").alias("_chars"),
+            F.col("line_link_chars").alias("_link_chars"),
+            F.col("line_words").alias("_words"),
+        )
+        member_lines = admitted.select(
+            "url", "page", "line_id", "line_number"
+        ).join(stats, ["url", "page", "line_id"])
     b = blocks.select(
         "url", "page", "block_id", "first_line_number", "last_line_number"
     )

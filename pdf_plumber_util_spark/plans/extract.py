@@ -153,7 +153,13 @@ def extract_documents(pages: DataFrame, cfg: EngineConfig = DEFAULT,
         pages = partition_pages(pages, num_partitions)
     words = _url_partitioned_words(pages)
     wl = assign_line_ids_window(words, cfg.y_tolerance)
-    segs = build_segments(wl)
+    if cfg.drop_boilerplate and "is_link" not in wl.columns:
+        wl = wl.withColumn("is_link", F.lit(False))
+    # drop_boilerplate: the per-line char/link/word counts ride the
+    # EXISTING segment and line aggregates (three extra sums, zero added
+    # shuffles or word passes) and land in the persisted lines, where the
+    # boilerplate classifier reads them for free
+    segs = build_segments(wl, with_link_stats=cfg.drop_boilerplate)
     # proportional columns pruned at the source: nothing downstream of
     # the process path reads them, and persist() would otherwise force
     # their computation (Catalyst cannot prune through a cache)
@@ -189,12 +195,10 @@ def extract_documents(pages: DataFrame, cfg: EngineConfig = DEFAULT,
     if cfg.drop_boilerplate:
         from ..operators.webtext import block_boilerplate
 
-        wl_flagged = (
-            wl if "is_link" in wl.columns
-            else wl.withColumn("is_link", F.lit(False))
-        )
+        # flines carries the line_link_stats columns (attached above), so
+        # no word re-derivation happens here
         bp = block_boilerplate(
-            wl_flagged, flines, blocks,
+            None, flines, blocks,
             max_link_density=cfg.max_link_density,
             min_text_density=cfg.min_text_density,
         )
