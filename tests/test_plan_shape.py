@@ -330,3 +330,27 @@ def test_repeated_spans_reuses_url_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_optin_boilerplate_single_word_exchange(spark):
+    """drop_boilerplate must not add word-sized shuffles or a second
+    tokenizer pass: the lines-with-link-stats plan still has exactly ONE
+    word exchange and ONE MapInPandas stage (stats ride the existing
+    segment/line aggregates)."""
+    from pdf_plumber_util_spark.operators import assign_line_ids_window
+
+    pages = synth_pages(spark, 4)
+    words = tokenize_pages(pages).repartition(F.col("url"))
+    wl = assign_line_ids_window(words)
+    segs = build_segments(wl, with_link_stats=True)
+    lines = drop_blank_lines(
+        assemble_lines(wl, segs, include_proportional=False)
+    )
+    assert {"line_chars", "line_link_chars", "line_words"} <= set(lines.columns)
+    plan = _plan(lines)
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}"
+    # one tokenizer stage (subtree repeats in the text are collapsed by
+    # counting distinct plan_ids on MapInPandas lines)
+    tok_ids = set(re.findall(r"MapInPandas.*?\[plan_id=(\d+)\]", plan))
+    assert len(tok_ids) <= 1, f"tokenizer appears {len(tok_ids)}x"
