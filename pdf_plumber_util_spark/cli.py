@@ -43,6 +43,8 @@ def _config(args):
         overrides["y_tolerance"] = args.y_tolerance
     if getattr(args, "x_tolerance", None) is not None:
         overrides["x_tolerance"] = args.x_tolerance
+    if getattr(args, "drop_boilerplate", False):
+        overrides["drop_boilerplate"] = True
     return replace(cfg, **overrides) if overrides else cfg
 
 
@@ -55,6 +57,10 @@ def _common(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--y-tolerance", type=float, dest="y_tolerance")
     ap.add_argument("--x-tolerance", type=float, dest="x_tolerance")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--drop-boilerplate", action="store_true",
+                    dest="drop_boilerplate",
+                    help="strip link-dominated / label-sparse blocks "
+                         "(text/link-density DOM heuristics) from body text")
 
 
 def cmd_extract(args) -> int:

@@ -43,6 +43,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="url-hash commit buckets (Iceberg: bucket(N, url))")
     ap.add_argument("--no-resume", action="store_true",
                     help="ignore committed buckets and reprocess everything")
+    ap.add_argument("--drop-boilerplate", action="store_true",
+                    help="strip link-dominated / label-sparse blocks from body text")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -59,7 +61,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.no_resume:
         # Hadoop FS delete, so --output may be hdfs:// or s3a:// too
         delete_dir(spark, f"{args.output}/{SIDECAR}")
-    metas = run_resumable(pages, spark, args.output, n_buckets=args.buckets)
+    cfg = None
+    if args.drop_boilerplate:
+        from pdf_plumber_util_spark.config import EngineConfig
+
+        cfg = EngineConfig(drop_boilerplate=True)
+    metas = run_resumable(pages, spark, args.output, n_buckets=args.buckets,
+                          cfg=cfg)
     print(json.dumps({"buckets_processed": len(metas),
                       "docs": sum(m["n_docs"] for m in metas),
                       "chars": sum(m["chars_extracted"] for m in metas)}))
