@@ -21,3 +21,21 @@ from .boundaries import (  # noqa: F401
     final_boundaries,
     body_text,
 )
+from .webtext import (  # noqa: F401
+    block_boilerplate,
+    c4_line_filter,
+    canonical_url,
+    cap_per_host,
+    gopher_quality,
+    host_of,
+    host_stats,
+    line_link_stats,
+    pii_scrub,
+    repeated_spans,
+    url_dedup,
+)
+from .text_analysis import (  # noqa: F401
+    repetition_stats,
+    shared_span_stats,
+    winnow_fingerprints,
+)
