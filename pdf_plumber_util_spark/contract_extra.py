@@ -1863,3 +1863,73 @@ SELECT t.doc_id, t.top_gram,
    AND CAST(COALESCE(d.dup_chars, 0) AS DOUBLE) / t.doc_chars <= 0.15) AS keep
 FROM top t LEFT JOIN dup d USING (doc_id)
 """
+
+
+# -------- chunk-level exact dedup + benchmark decontamination (round 3)
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup (C4 span rule / Lee et al. ExactSubstr at
+    20-word granularity): global first occurrence of every chunk wins,
+    survivor text reassembled in order."""
+    return dedup.paragraph_dedup(load_table(spark, sf_dir, "documents"),
+                                 chunk_words=20)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 App. C rule): train docs sharing
+    any word 4-gram with the held-out eval slice (doc_id % 97 == 0) are
+    flagged. n=4 (not the paper's 13) so the synthetic corpus splits
+    non-vacuously: 8 contaminated / 494 at sf0.01."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.decontaminate(tr, ev, n=4)
+
+
+EXTRA_QUERIES.update({
+    "d10_paragraph_dedup": q_paragraph_dedup,
+    "t10_decontaminate": q_decontaminate,
+})
+
+EXTRA_ORACLES.update({
+    "d10_paragraph_dedup": r"""
+WITH toks AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+    array_to_string(t[i*20+1 : i*20+20], ' ') AS chunk_text
+  FROM toks, unnest(generate_series(0, CAST(ceil(len(t)/20.0) AS BIGINT) - 1)) AS u(i)
+), flagged AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_idx) = 1 AS keep
+  FROM chunks
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks_kept,
+  COALESCE(STRING_AGG(CASE WHEN keep THEN chunk_text END, ' ' ORDER BY chunk_idx), '')
+    AS deduped_text
+FROM flagged GROUP BY doc_id
+""",
+    "t10_decontaminate": r"""
+WITH toks AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+        FROM toks WHERE len(t) >= 4)
+), ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, COUNT(DISTINCT g) AS nh FROM grams
+  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM ev) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_eval_ngrams_hit,
+  COALESCE(h.nh, 0) > 0 AS is_contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+""",
+})

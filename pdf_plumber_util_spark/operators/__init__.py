@@ -34,6 +34,12 @@ from .webtext import (  # noqa: F401
     repeated_spans,
     url_dedup,
 )
+from .dedup import (  # noqa: F401
+    decontaminate,
+    exact_duplicates,
+    near_dup_pipeline,
+    paragraph_dedup,
+)
 from .text_analysis import (  # noqa: F401
     repetition_stats,
     shared_span_stats,

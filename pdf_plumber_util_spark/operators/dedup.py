@@ -416,3 +416,105 @@ def simhash(docs: DataFrame, k: int = 3) -> DataFrame:
         F.transform(votes, lambda v: F.when(v > 0, "1").otherwise("0")), ""
     )
     return arr.select("doc_id", bits.alias("simhash_bits"))
+
+
+def paragraph_dedup(docs: DataFrame, chunk_words: int = 20) -> DataFrame:
+    """Chunk-level exact dedup: C4's "we deduplicate at the span level"
+    rule (Raffel et al. 2020 §2.2) / Lee et al. 2021's ExactSubstr at a
+    fixed granularity — the corpus keeps only the globally FIRST
+    occurrence of every ``chunk_words``-word chunk; later occurrences
+    anywhere in the corpus (same doc or another) are dropped and the
+    survivor text reassembled in order. "First" = smallest
+    (doc_id, chunk_idx), deterministic.
+
+    The synthetic documents table has no paragraph markers, so the chunk
+    boundary is positional (consecutive ``chunk_words``-token windows of
+    the normalized token stream); with real crawl text the same operator
+    applies to '\\n\\n'-split paragraphs by swapping the chunker.
+
+    Output, one row per input doc:
+      (doc_id, n_chunks, n_chunks_kept, deduped_text).
+
+    Shape at scale: chunking is a map-side projection (tokens ->
+    positional slices); the ONLY corpus-wide exchange is the groupBy on
+    the chunk hash — uniform by construction, and a million-doc identical
+    chunk (error-page boilerplate) is absorbed map-side by the partial
+    aggregate exactly like exact_duplicates. The join back is
+    hash-on-hash (AQE skew-split applies) and the final per-doc rollup is
+    chunk-sized. No collects, no windows over the whole corpus.
+    """
+    toks = F.split(_norm(F.col("text")), " ")
+    n_chunks = F.floor((F.size(toks) + chunk_words - 1) / chunk_words).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.array_join(
+                F.slice(toks, i * chunk_words + 1, chunk_words), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    flat = docs.select(
+        "doc_id", F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c")["chunk_idx"].alias("chunk_idx"),
+        F.col("c")["chunk_text"].alias("chunk_text"),
+        F.md5(F.col("c")["chunk_text"]).alias("h"),
+    )
+    firsts = flat.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("_first")
+    )
+    flagged = flat.join(firsts, "h").withColumn(
+        "_keep",
+        (F.col("doc_id") == F.col("_first")["doc_id"])
+        & (F.col("chunk_idx") == F.col("_first")["chunk_idx"]),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.col("_keep").cast("long")).alias("n_chunks_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("chunk_idx", "chunk_text"))
+                    )
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("deduped_text"),
+    )
+
+
+def decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = 13) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with an evaluation set (the GPT-3 App. C / standard
+    eval-leakage rule, reimplemented from the published description).
+    Default n=13 matches the paper; the contract query uses a smaller n
+    so the synthetic corpus produces a non-vacuous split.
+
+    Output, one row per TRAIN doc:
+      (doc_id, n_eval_ngrams_hit, is_contaminated).
+
+    Shape at scale: the eval side is benchmark-sized — thousands of
+    documents against a trillion-doc corpus — so its distinct n-grams are
+    BROADCAST and the train side never shuffles its text: projection
+    (shingles) -> explode -> broadcast semi-join -> doc_id groupBy with
+    map-side partial aggregation. The one exchange is doc_id-keyed and
+    carries only (doc_id, count)-sized rows past the map side.
+    """
+    ev = doc_shingles(eval_docs, k=n).select("shingle").distinct()
+    hits = (
+        doc_shingles(train, k=n)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_eval_ngrams_hit"))
+    )
+    return train.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_eval_ngrams_hit", F.lit(0)).cast("long").alias(
+            "n_eval_ngrams_hit"
+        ),
+        (F.coalesce("n_eval_ngrams_hit", F.lit(0)) > 0).alias("is_contaminated"),
+    )

@@ -460,3 +460,52 @@ def test_host_stats_counts(spark):
     assert (a["n_docs"], a["n_canonical_urls"], a["total_chars"]) == (3, 2, 12)
     assert a["mean_chars"] == 4.0
     assert out["b.example.com"]["n_docs"] == 1
+
+
+def test_paragraph_dedup_planted_chunks(spark):
+    from pdf_plumber_util_spark.operators import dedup
+
+    A = " ".join(f"a{i}" for i in range(20))
+    B = " ".join(f"b{i}" for i in range(20))
+    C = " ".join(f"c{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (1, A + " " + B),   # owns A and B
+            (2, A + " " + C),   # A is doc 1's -> dropped; owns C
+            (3, C + " " + C),   # both instances lose to doc 2's C
+            (4, "short text"),  # sub-chunk doc: one chunk, kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.paragraph_dedup(df, chunk_words=20).collect()}
+    assert out[1].n_chunks == 2 and out[1].n_chunks_kept == 2
+    assert out[1].deduped_text == A + " " + B
+    assert out[2].n_chunks == 2 and out[2].n_chunks_kept == 1
+    assert out[2].deduped_text == C
+    assert out[3].n_chunks == 2 and out[3].n_chunks_kept == 0
+    assert out[3].deduped_text == ""
+    assert out[4].n_chunks == 1 and out[4].n_chunks_kept == 1
+    assert out[4].deduped_text == "short text"
+
+
+def test_decontaminate_planted_ngrams(spark):
+    from pdf_plumber_util_spark.operators import dedup
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma delta y"),  # shares exactly one 4-gram
+            (2, "alpha beta x gamma delta"),    # words shared, no 4-gram
+            (3, "beta gamma delta epsilon"),    # its single 4-gram is eval's
+            (4, "tiny"),                        # shorter than n: no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.decontaminate(tr, ev, n=4).collect()}
+    assert set(out) == {1, 2, 3, 4}  # every train doc reported
+    assert out[1].is_contaminated and out[1].n_eval_ngrams_hit == 1
+    assert not out[2].is_contaminated and out[2].n_eval_ngrams_hit == 0
+    assert out[3].is_contaminated and out[3].n_eval_ngrams_hit == 1
+    assert not out[4].is_contaminated
