@@ -1933,3 +1933,65 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % 97 <> 0
 """,
 })
+
+
+# -------- corpus mix rebalancing (round 3): plan + deterministic sample
+
+from .operators.webtext import rate_threshold_hex as _thr_hex  # noqa: E402
+
+_MIX_RATES = {"en": 0.5, "zh": 0.25}
+_MIX_TARGETS = {"en": 0.4, "de": 0.2, "zh": 0.4}
+_MIX_BUDGET = 30_000
+
+
+def q_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling rates to hit a target token mix (en/de/zh
+    shares of a 30k-char budget; es/fr excluded -> rate 0)."""
+    from .operators.webtext import mix_plan
+
+    return mix_plan(load_table(spark, sf_dir, "documents"),
+                    targets=_MIX_TARGETS, token_budget=_MIX_BUDGET)
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-threshold stratified subsample (en halved, zh
+    quartered, other languages kept)."""
+    from .operators.webtext import mix_sample
+
+    return mix_sample(load_table(spark, sf_dir, "documents"),
+                      rates=_MIX_RATES, salt="mix1")
+
+
+EXTRA_QUERIES.update({
+    "m5_mix_plan": q_mix_plan,
+    "m6_mix_sample": q_mix_sample,
+})
+
+_MIX_CASES = " ".join(
+    f"WHEN lang = '{k}' THEN substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    f" < '{_thr_hex(r)}'"
+    for k, r in sorted(_MIX_RATES.items())
+)
+_PLAN_SHARES = " ".join(
+    f"WHEN {k!r} THEN {v!r}" for k, v in sorted(_MIX_TARGETS.items())
+)
+
+EXTRA_ORACLES.update({
+    "m5_mix_plan": f"""
+WITH agg AS (
+  SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS stratum_tokens
+  FROM documents GROUP BY lang
+)
+SELECT stratum, n_docs, stratum_tokens,
+  CASE WHEN share IS NULL THEN 0.0
+       ELSE LEAST(1.0, share * {float(_MIX_BUDGET)!r} / stratum_tokens) END AS rate
+FROM (SELECT *, CASE stratum {_PLAN_SHARES} END AS share FROM agg)
+""",
+    "m6_mix_sample": f"""
+SELECT doc_id, lang,
+  substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hash_prefix,
+  CASE {_MIX_CASES} ELSE TRUE END AS keep
+FROM documents
+""",
+})

@@ -440,3 +440,82 @@ def repeated_spans(lines: DataFrame, min_pages: int = 3,
             ).alias("is_repeated_furniture"),
         )
     )
+
+
+# -------- corpus mix rebalancing (training-data sampling)
+
+
+def rate_threshold_hex(rate: float) -> str | None:
+    """Sampling rate -> 8-hex-digit md5-prefix threshold (keep iff the
+    first 8 hex chars of the doc's salted md5 are lexicographically below
+    it). None means "keep everything" (rate >= 1). Shared by the Spark
+    expression and the DuckDB oracle so both engines draw the identical
+    deterministic sample."""
+    if rate >= 1.0:
+        return None
+    return format(max(int(rate * 2**32), 0), "08x")
+
+
+def mix_sample(docs: DataFrame, rates: dict[str, float],
+               default_rate: float = 1.0, salt: str = "mix1",
+               strat_col: str = "lang") -> DataFrame:
+    """Deterministic stratified subsampling to rebalance a corpus mix
+    (the Pile / multilingual-rebalancing staple: downsample over-
+    represented strata to target proportions).
+
+    Keep rule: first 8 hex chars of md5("salt:doc_id") compared
+    lexicographically against the stratum's rate threshold — a pure
+    map-side projection that is (a) reproducible across cluster sizes,
+    partitionings and row order (unlike ``df.sample``, whose draw depends
+    on partition layout), (b) portable bit-for-bit to any engine with
+    md5, and (c) consistent: raising a stratum's rate only ADDS documents
+    (the kept set is a prefix of the hash order), so incremental
+    re-mixes are supersets.
+
+    Output: one row per doc — (doc_id, <strat_col>, hash_prefix, keep).
+    """
+    prefix = F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string"))),
+        1, 8,
+    )
+
+    def keep_expr(rate: float):
+        thr = rate_threshold_hex(rate)
+        return F.lit(True) if thr is None else prefix < F.lit(thr)
+
+    keep = keep_expr(default_rate)
+    for k, rate in sorted(rates.items()):
+        keep = F.when(F.col(strat_col) == k, keep_expr(rate)).otherwise(keep)
+    return docs.select(
+        "doc_id", strat_col, prefix.alias("hash_prefix"), keep.alias("keep")
+    )
+
+
+def mix_plan(docs: DataFrame, targets: dict[str, float], token_budget: int,
+             strat_col: str = "lang", token_col: str = "n_chars") -> DataFrame:
+    """Compute per-stratum sampling rates so the sampled corpus
+    approximates ``targets`` (stratum -> share of ``token_budget``):
+    rate_k = min(1, targets[k] * budget / tokens_k). Strata absent from
+    ``targets`` get rate 0 (excluded from the mix). The output feeds
+    mix_sample (rates = {row.stratum: row.rate}).
+
+    One tiny aggregation (strata-count rows); rates divide exact BIGINT
+    sums so they are bit-identical across engines.
+    """
+    tgt = [(k, float(v)) for k, v in sorted(targets.items())]
+    tgt_expr = F.create_map(*[F.lit(x) for kv in tgt for x in kv])
+    agg = docs.groupBy(strat_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_col).cast("long").alias("stratum_tokens"),
+    )
+    share = tgt_expr[F.col(strat_col)]
+    desired = share * F.lit(float(token_budget))
+    rate = F.when(
+        share.isNull(), F.lit(0.0)
+    ).otherwise(F.least(F.lit(1.0), desired / F.col("stratum_tokens")))
+    return agg.select(
+        F.col(strat_col).alias("stratum"),
+        "n_docs",
+        "stratum_tokens",
+        rate.alias("rate"),
+    )

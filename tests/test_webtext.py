@@ -248,3 +248,49 @@ def test_gopher_stop_hits_counts_distinct_stopwords(spark):
     got = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
     assert got[0]["stop_hits"] == 1 and not got[0]["keep"]
     assert got[1]["stop_hits"] == 2
+
+
+def test_mix_sample_matches_hashlib_twin(spark):
+    import hashlib
+
+    from pdf_plumber_util_spark.operators.webtext import (
+        mix_sample,
+        rate_threshold_hex,
+    )
+
+    rows = [(i, ["en", "zh", "fr"][i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.5, "zh": 0.25}
+    out = {r.doc_id: r for r in mix_sample(df, rates, salt="mix1").collect()}
+    assert len(out) == 60  # every doc reported, kept or not
+    for doc_id, lang in rows:
+        prefix = hashlib.md5(f"mix1:{doc_id}".encode()).hexdigest()[:8]
+        thr = rate_threshold_hex(rates.get(lang, 1.0))
+        expected = True if thr is None else prefix < thr
+        assert out[doc_id].hash_prefix == prefix
+        assert out[doc_id].keep == expected, (doc_id, lang)
+    # monotone: raising a rate only ADDS documents (prefix-of-hash-order)
+    bigger = {r.doc_id for r in mix_sample(df, {"en": 0.9, "zh": 0.6},
+                                           salt="mix1").collect() if r.keep}
+    smaller = {r.doc_id for r in out.values() if r.keep}
+    assert smaller <= bigger
+    # edges: rate 0 keeps nothing in the stratum, rate 1 keeps everything
+    edge = {r.doc_id: r.keep for r in mix_sample(
+        df, {"en": 0.0, "zh": 1.0}, salt="mix1").collect()}
+    assert not any(edge[i] for i, lg in rows if lg == "en")
+    assert all(edge[i] for i, lg in rows if lg != "en")
+
+
+def test_mix_plan_rates(spark):
+    from pdf_plumber_util_spark.operators.webtext import mix_plan
+
+    df = spark.createDataFrame(
+        [(1, "en", 1000), (2, "en", 3000), (3, "zh", 500), (4, "fr", 100)],
+        "doc_id long, lang string, n_chars long",
+    )
+    plan = {r.stratum: r for r in mix_plan(
+        df, targets={"en": 0.5, "zh": 0.5}, token_budget=2000).collect()}
+    assert plan["en"].stratum_tokens == 4000
+    assert plan["en"].rate == 0.5 * 2000.0 / 4000  # downsample to budget
+    assert plan["zh"].rate == 1.0                  # capped: wants 1000, has 500
+    assert plan["fr"].rate == 0.0                  # absent from targets
