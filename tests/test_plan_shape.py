@@ -354,3 +354,41 @@ def test_optin_boilerplate_single_word_exchange(spark):
     # counting distinct plan_ids on MapInPandas lines)
     tok_ids = set(re.findall(r"MapInPandas.*?\[plan_id=(\d+)\]", plan))
     assert len(tok_ids) <= 1, f"tokenizer appears {len(tok_ids)}x"
+
+
+def test_mix_sample_zero_exchanges(spark):
+    """The deterministic stratified sampler must stay a pure projection
+    of the documents scan (its whole point is map-side reproducibility)."""
+    from pdf_plumber_util_spark.operators.webtext import mix_sample
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 10, ["en", "zh"][i % 2]) for i in range(6)],
+        "doc_id long, text string, lang string",
+    )
+    plan = _plan(mix_sample(docs, {"en": 0.5}))
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval n-gram set is benchmark-sized; the corpus side must join
+    against it broadcast, never shuffling its own text."""
+    from pdf_plumber_util_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta", "en") for i in range(8)],
+        "doc_id long, text string, lang string",
+    )
+    plan = _plan(
+        dedup.decontaminate(docs.filter("doc_id > 1"), docs.filter("doc_id <= 1"), n=4)
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # exactly ONE shingle-keyed exchange is allowed: the EVAL side's
+    # distinct (benchmark-sized). Everything else keys on doc_id (count
+    # rollup, left join back) — the corpus side never shuffles its text.
+    import re
+
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    shingle_keyed = [k for k in hash_exchanges if k.startswith("shingle")]
+    other = [k for k in hash_exchanges if not k.startswith("shingle")]
+    assert len(shingle_keyed) <= 1, hash_exchanges
+    assert other and all(k.startswith("doc_id") for k in other), hash_exchanges
