@@ -1995,3 +1995,34 @@ SELECT doc_id, lang,
 FROM documents
 """,
 })
+
+
+# -------- sequence packing (round 3): distributed prefix sum
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token offsets + pack spans in doc_id order (seq_len 2048
+    over the n_chars proxy). bucket_span=128 exercises the two-level
+    prefix sum (4 buckets at sf0.01) rather than one degenerate bucket."""
+    from .operators.webtext import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"),
+                          seq_len=2048, bucket_span=128)
+
+
+EXTRA_QUERIES["t11_sequence_packing"] = q_sequence_packing
+
+EXTRA_ORACLES["t11_sequence_packing"] = r"""
+WITH o AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
+    CAST(COALESCE(SUM(n_chars) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS BIGINT) AS token_offset
+  FROM documents
+)
+SELECT doc_id, n_tokens, token_offset,
+  token_offset // 2048 AS first_pack,
+  CASE WHEN n_tokens > 0 THEN (token_offset + n_tokens - 1) // 2048
+       ELSE token_offset // 2048 END AS last_pack
+FROM o
+"""

@@ -519,3 +519,68 @@ def mix_plan(docs: DataFrame, targets: dict[str, float], token_budget: int,
         "stratum_tokens",
         rate.alias("rate"),
     )
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048,
+                   token_col: str = "n_chars", order_col: str = "doc_id",
+                   bucket_span: int = 4096) -> DataFrame:
+    """Sequence packing for training-corpus assembly (the GPT-style
+    "concatenate everything, cut every seq_len tokens" layout): per doc
+    its global token offset in ``order_col`` order, and which packed
+    sequences it lands in (documents may straddle pack boundaries).
+
+    The global offset is a prefix sum — the one thing a naive Spark
+    window CANNOT do at scale (an empty partitionBy = the whole corpus
+    sorted in ONE task). This computes it two-level and deterministically,
+    with no sampling (repartitionByRange boundaries vary per run and per
+    branch — a correctness hazard when two branches of the same plan must
+    agree on partition identity):
+
+      1. bucket = order_col div bucket_span (deterministic, order-
+         preserving); local cumsum per bucket via a window — every task
+         bounded by bucket_span rows;
+      2. bucket totals (one row per bucket) rolled up by groupBy,
+         collected, prefix-summed driver-side, and broadcast-joined back.
+
+    The collect is BUCKET-count-sized, not data-sized: at 10^12 docs,
+    bucket_span=10^6 gives 10^6 totals (~8 MB on the driver) and
+    10^6-row window tasks — both bounded by the parameter, never by the
+    corpus. Offsets use exact integer arithmetic throughout.
+
+    Output: (doc_id, n_tokens, token_offset, first_pack, last_pack) —
+    first_pack/last_pack are the seq_len-sized training sequences the
+    doc's tokens fall into; last_pack > first_pack means it straddles.
+    """
+    oc, tc = F.col(order_col), F.col(token_col).cast("long")
+    b = docs.select(
+        oc.alias("doc_id"),
+        tc.alias("n_tokens"),
+        F.expr(f"{order_col} div {bucket_span}").alias("_b"),
+    )
+    w = Window.partitionBy("_b").orderBy("doc_id")
+    local = b.withColumn("_cum", F.sum("n_tokens").over(w))
+    totals = (
+        b.groupBy("_b").agg(F.sum("n_tokens").alias("_t"))
+        .orderBy("_b")
+        .collect()
+    )
+    base, acc = [], 0
+    for r in totals:
+        base.append((r["_b"], acc))
+        acc += r["_t"]
+    spark = docs.sparkSession
+    base_df = spark.createDataFrame(base, "_b long, _base long")
+    out = local.join(F.broadcast(base_df), "_b").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_base") + F.col("_cum") - F.col("n_tokens")).alias("token_offset"),
+    )
+    first = F.expr(f"token_offset div {seq_len}")
+    last = F.when(
+        F.col("n_tokens") > 0,
+        F.expr(f"(token_offset + n_tokens - 1) div {seq_len}"),
+    ).otherwise(first)
+    return out.select(
+        "doc_id", "n_tokens", "token_offset",
+        first.alias("first_pack"), last.alias("last_pack"),
+    )

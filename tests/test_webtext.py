@@ -294,3 +294,31 @@ def test_mix_plan_rates(spark):
     assert plan["en"].rate == 0.5 * 2000.0 / 4000  # downsample to budget
     assert plan["zh"].rate == 1.0                  # capped: wants 1000, has 500
     assert plan["fr"].rate == 0.0                  # absent from targets
+
+
+def test_pack_sequences_prefix_sum_twin(spark):
+    from pdf_plumber_util_spark.operators.webtext import pack_sequences
+
+    # sparse ids, a zero-token doc, and a doc longer than one pack
+    rows = [(3, 10), (7, 0), (20, 25), (21, 5), (100, 7), (101, 3)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = {
+        r.doc_id: r
+        for r in pack_sequences(df, seq_len=16, bucket_span=3).collect()
+    }
+    assert len(out) == len(rows)
+    offset = 0
+    for doc_id, n in rows:  # already in doc_id order
+        r = out[doc_id]
+        assert r.token_offset == offset, (doc_id, r.token_offset, offset)
+        assert r.n_tokens == n
+        assert r.first_pack == offset // 16
+        assert r.last_pack == ((offset + n - 1) // 16 if n else offset // 16)
+        offset += n
+    assert out[20].last_pack > out[20].first_pack  # straddles a boundary
+    # invariance: bucket granularity must not change the answer
+    alt = {
+        r.doc_id: r
+        for r in pack_sequences(df, seq_len=16, bucket_span=1000).collect()
+    }
+    assert all(alt[d].token_offset == out[d].token_offset for d, _ in rows)
