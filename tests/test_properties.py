@@ -284,3 +284,39 @@ def test_repetition_stats_matches_python_twin(spark, docs_words):
         ) if len(ws) >= 5 else Counter()
         dup = sum(len(g) * c for g, c in g5.items() if c > 1)
         assert got[i]["dup_gram_frac"] == dup / len(text)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("aa bb cc dd".split()), min_size=1,
+                 max_size=25),
+        min_size=1, max_size=8,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=10, deadline=None)
+def test_paragraph_dedup_matches_python_twin(spark, docs_words, chunk_words):
+    """Chunk dedup equals an independent pure-Python restatement on
+    random small-vocab docs, for any chunk size: globally first
+    (doc_id, chunk_idx) per chunk text wins, survivors reassemble in
+    order."""
+    from pdf_plumber_util_spark.operators.dedup import paragraph_dedup
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in paragraph_dedup(df, chunk_words).collect()}
+
+    seen: set[str] = set()
+    for i, ws in enumerate(docs_words):  # doc_id order == first-wins order
+        chunks = [
+            " ".join(ws[j:j + chunk_words])
+            for j in range(0, len(ws), chunk_words)
+        ]
+        kept = []
+        for c in chunks:  # chunk_idx order
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        assert got[i]["n_chunks"] == len(chunks)
+        assert got[i]["n_chunks_kept"] == len(kept)
+        assert got[i]["deduped_text"] == " ".join(kept)
