@@ -557,7 +557,14 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
         tc.alias("n_tokens"),
         F.expr(f"{order_col} div {bucket_span}").alias("_b"),
     )
-    w = Window.partitionBy("_b").orderBy("doc_id")
+    # explicit ROWS frame: the default RANGE frame sums ALL peers of a
+    # tied order key into each tied row's cumsum; ids should be unique,
+    # but a duplicated id must not silently corrupt every later offset
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     local = b.withColumn("_cum", F.sum("n_tokens").over(w))
     totals = (
         b.groupBy("_b").agg(F.sum("n_tokens").alias("_t"))
