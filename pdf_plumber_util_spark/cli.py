@@ -228,6 +228,114 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """End-to-end corpus curation over a documents table — the
+    training-data composition of the standalone gates: Gopher quality +
+    repetition gates, exact dedup (first occurrence survives), optional
+    benchmark decontamination against --eval-input, PII scrubbing of the
+    survivors, and an optional deterministic mix subsample
+    (--mix-rates '{"en": 0.5, ...}'). Writes the curated corpus
+    (doc_id, scrubbed text, per-gate flags) and prints funnel metrics.
+
+    Every stage is doc_id-keyed, so the flag joins co-partition; the only
+    text-sized exchanges are the ones the underlying operators already
+    document (dedup fingerprint groupBy; eval side broadcast).
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import decontaminate, exact_duplicates
+    from .operators.text_analysis import repetition_stats
+    from .operators.webtext import gopher_quality, mix_sample, pii_scrub
+    from .plans.io import write_stage
+
+    spark = _spark(args.cores)
+    docs = spark.read.parquet(args.input)
+    if args.id_col != "doc_id":
+        docs = docs.withColumnRenamed(args.id_col, "doc_id")
+    if args.text_col != "text":
+        docs = docs.withColumnRenamed(args.text_col, "text")
+
+    quality = gopher_quality(docs, min_words=args.min_words).select(
+        "doc_id", F.col("keep").alias("quality_keep")
+    )
+    repetition = repetition_stats(docs).select(
+        "doc_id", F.col("keep").alias("repetition_keep")
+    )
+    dup = exact_duplicates(docs).select("doc_id", "is_duplicate")
+    flags = (
+        docs.select("doc_id")
+        .join(quality, "doc_id", "left")
+        .join(repetition, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .withColumn("quality_keep", F.coalesce("quality_keep", F.lit(False)))
+        .withColumn(
+            # docs too short for any 5-gram have nothing to repeat
+            "repetition_keep", F.coalesce("repetition_keep", F.lit(True))
+        )
+    )
+    if args.eval_input:
+        ev = spark.read.parquet(args.eval_input)
+        if args.id_col != "doc_id":
+            ev = ev.withColumnRenamed(args.id_col, "doc_id")
+        if args.text_col != "text":
+            ev = ev.withColumnRenamed(args.text_col, "text")
+        cont = decontaminate(docs, ev, n=args.decontaminate_ngram).select(
+            "doc_id", "is_contaminated"
+        )
+        flags = flags.join(cont, "doc_id", "left").withColumn(
+            "is_contaminated", F.coalesce("is_contaminated", F.lit(False))
+        )
+    else:
+        flags = flags.withColumn("is_contaminated", F.lit(False))
+    keep = (
+        F.col("quality_keep")
+        & F.col("repetition_keep")
+        & ~F.col("is_duplicate")
+        & ~F.col("is_contaminated")
+    )
+    flags = flags.withColumn("keep", keep)
+    if args.mix_rates:
+        lang_col = "lang" if "lang" in docs.columns else None
+        if lang_col is None:
+            raise EngineError(
+                "--mix-rates needs a 'lang' column on the input",
+                suggestion="add a lang column (e.g. via lang_id) or drop "
+                "--mix-rates",
+            )
+        mix = mix_sample(
+            docs, json.loads(args.mix_rates), salt=args.mix_salt
+        ).select("doc_id", F.col("keep").alias("mix_keep"))
+        flags = flags.join(mix, "doc_id", "left").withColumn(
+            "keep", F.col("keep") & F.coalesce("mix_keep", F.lit(True))
+        )
+    scrubbed = pii_scrub(docs)
+    out = (
+        flags.join(scrubbed, "doc_id")
+        .select(
+            "doc_id", "keep", "quality_keep", "repetition_keep",
+            "is_duplicate", "is_contaminated",
+            F.col("scrubbed_text").alias("text"),
+            (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias(
+                "n_pii_redactions"
+            ),
+        )
+    )
+    path = write_stage(out, args.output, args.basename, "curated")
+    written = spark.read.parquet(path)
+    funnel = written.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("quality_keep").cast("long")).alias("quality_pass"),
+        F.sum(F.col("repetition_keep").cast("long")).alias("repetition_pass"),
+        F.sum((~F.col("is_duplicate")).cast("long")).alias("unique"),
+        F.sum((~F.col("is_contaminated")).cast("long")).alias("clean"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum("n_pii_redactions").alias("pii_redactions"),
+    ).collect()[0]
+    print(json.dumps({"curated": path, **{k: int(funnel[k] or 0)
+                                          for k in funnel.asDict()}}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pdf-plumber-spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -278,6 +386,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-df", type=int, default=1000)
     p.add_argument("--cores", type=int, default=None)
     p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser(
+        "curate",
+        help="documents -> curated corpus (quality/repetition gates, "
+             "dedup, decontamination, PII scrub, optional mix sample)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--basename", default="doc")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--min-words", type=int, default=50)
+    p.add_argument("--eval-input", default=None,
+                   help="benchmark parquet; docs sharing an n-gram with "
+                        "it are dropped")
+    p.add_argument("--decontaminate-ngram", type=int, default=13)
+    p.add_argument("--mix-rates", default=None,
+                   help='JSON lang->rate map, e.g. \'{"en": 0.5}\'')
+    p.add_argument("--mix-salt", default="mix1")
+    p.add_argument("--cores", type=int, default=None)
+    p.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     try:

@@ -84,3 +84,30 @@ def test_cli_dedup(spark, sf_dir, tmp_path, capsys):
     assert arts2["docs"] == arts["docs"]
     # near-dup can only merge more than exact md5 identity
     assert arts2["clusters"] <= arts["clusters"]
+
+
+def test_cli_curate(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "outc")
+    docs = f"{sf_dir}/documents.parquet"
+    assert cli.main(["curate", "--input", docs, "--output", out,
+                     "--min-words", "5", "--mix-rates", '{"en": 0.5}',
+                     "--cores", "8"]) == 0
+    funnel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert funnel["docs"] > 0
+    assert funnel["kept"] <= min(funnel["quality_pass"], funnel["unique"])
+    assert funnel["clean"] == funnel["docs"]  # no eval set given
+    t = spark.read.parquet(funnel["curated"])
+    assert {"doc_id", "keep", "quality_keep", "repetition_keep",
+            "is_duplicate", "is_contaminated", "text",
+            "n_pii_redactions"} <= set(t.columns)
+    assert t.count() == funnel["docs"]
+
+    # self-decontamination: using the corpus as its own eval set must
+    # flag every doc long enough to carry the n-gram
+    assert cli.main(["curate", "--input", docs, "--output", out,
+                     "--basename", "selfdecon", "--min-words", "5",
+                     "--eval-input", docs, "--decontaminate-ngram", "30",
+                     "--cores", "8"]) == 0
+    f2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert f2["clean"] < f2["docs"]
+    assert f2["kept"] <= f2["clean"]
