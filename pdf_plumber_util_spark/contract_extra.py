@@ -2026,3 +2026,65 @@ SELECT doc_id, n_tokens, token_offset,
        ELSE token_offset // 2048 END AS last_pack
 FROM o
 """
+
+
+# -------- CCNet-style LM perplexity filter (round 3)
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language self-trained unigram-LM perplexity + CCNet
+    head/middle/tail split. Cutoffs 29.85 / 30.12 are the sf0.01
+    empirical tertiles (CCNet thresholds are likewise computed offline);
+    at other SFs the split shifts but stays deterministic."""
+    from .operators.text_analysis import lm_perplexity, perplexity_bucket
+
+    return perplexity_bucket(
+        lm_perplexity(load_table(spark, sf_dir, "documents")),
+        head_cutoff=29.85, tail_cutoff=30.12,
+    )
+
+
+EXTRA_QUERIES["t12_lm_perplexity"] = q_lm_perplexity
+
+EXTRA_ORACLES["t12_lm_perplexity"] = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+), dw AS (
+  SELECT doc_id, lang, word, CAST(COUNT(*) AS BIGINT) AS m
+  FROM toks GROUP BY doc_id, lang, word
+), vocab AS (
+  SELECT lang, word, CAST(SUM(m) AS BIGINT) AS c FROM dw GROUP BY lang, word
+), tot AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_total,
+    CAST(COUNT(*) AS BIGINT) AS v
+  FROM vocab GROUP BY lang
+), dc AS (
+  SELECT dw.doc_id, dw.lang, v.c, CAST(SUM(dw.m) AS BIGINT) AS mc
+  FROM dw JOIN vocab v ON dw.lang = v.lang AND dw.word = v.word
+  GROUP BY dw.doc_id, dw.lang, v.c
+), pd AS (
+  -- deterministic sequential left-fold over count-sorted terms,
+  -- mirroring the Spark side's array_sort + F.aggregate exactly
+  SELECT doc_id, lang, CAST(SUM(mc) AS BIGINT) AS n_tokens,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(list_sort(list({'c': c, 'm': mc})),
+                       p -> CAST(p.m AS DOUBLE) * ln(p.c + 1))),
+      (acc, x) -> acc + x) AS sum_ln
+  FROM dc GROUP BY doc_id, lang
+), scored AS (
+  SELECT pd.doc_id, pd.lang, pd.n_tokens,
+    round(ln(t.n_total + t.v + 1) - pd.sum_ln / pd.n_tokens, 4)
+      AS cross_entropy,
+    round(exp(round(ln(t.n_total + t.v + 1) - pd.sum_ln / pd.n_tokens, 4)),
+          4) AS perplexity
+  FROM pd JOIN tot t USING (lang)
+)
+SELECT doc_id, lang, n_tokens, cross_entropy, perplexity,
+  CASE WHEN perplexity <= 29.85 THEN 'head'
+       WHEN perplexity <= 30.12 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM scored
+"""

@@ -311,3 +311,108 @@ def repetition_stats(docs: DataFrame, top_gram_n: int = 2,
             (top_frac <= max_top_frac) & (dup_frac <= max_dup_frac)
         ).alias("keep"),
     )
+
+
+def lm_perplexity(docs: DataFrame, text_col: str = "text",
+                  by_lang: bool = True, round_dp: int = 4) -> DataFrame:
+    """CCNet-style LM perplexity scoring (Wenzek et al. 2020 §3.3),
+    self-contained: instead of an external KenLM binary (not available,
+    and not deterministic across builds), train an add-one-smoothed
+    unigram LM on the corpus itself — per language when `by_lang` — and
+    score every document's per-token cross-entropy against it. Low
+    perplexity = looks like the corpus average (CCNet's "head").
+
+      p(w) = (c_w + 1) / (N + V + 1)        c_w corpus count, N total
+                                             tokens, V vocab size
+      cross_entropy(doc) = ln(N+V+1) - (1/n) * sum_tokens ln(c_w + 1)
+      perplexity = exp(cross_entropy)
+
+    Determinism: the per-doc sum of ln(c_w+1) is folded OVER A SORTED
+    ARRAY of (corpus_count, doc_multiplicity) pairs — the same sequential
+    left-fold the DuckDB oracle performs — so the float result does not
+    depend on row order or partitioning; outputs are rounded to
+    `round_dp` so 1-ulp ln/exp differences between engines cannot leak
+    into the hash. Documents with zero alphanumeric tokens are omitted
+    (they have no tokens to score — mirrored by the oracle's unnest).
+
+    Shape at scale: one text-sized exchange to the (doc_id, word) partial
+    aggregate, a word-sized vocab aggregate, a word-keyed equi-join back
+    (AQE handles head-word skew; vocab side is 1 row/word), then
+    doc-keyed aggregates. The per-doc collect_list is bounded by distinct
+    corpus-count values among the doc's words (<= distinct words/doc).
+    No collect, no UDF, no global sort.
+    """
+    key = ["lang"] if by_lang else []
+    words = docs.select(
+        "doc_id", *key,
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit("[a-z0-9]+"), 0)
+        ).alias("word"),
+    )
+    dw = words.groupBy("doc_id", *key, "word").agg(
+        F.count("*").cast("long").alias("m"))
+    vocab = dw.groupBy(*key, "word").agg(F.sum("m").alias("c"))
+    totals = (
+        vocab.groupBy(*key).agg(
+            F.sum("c").alias("_n_total"),
+            F.count("*").cast("long").alias("_v"))
+        if key else
+        vocab.agg(F.sum("c").alias("_n_total"),
+                  F.count("*").cast("long").alias("_v"))
+    )
+    dc = dw.join(vocab, key + ["word"]).groupBy("doc_id", *key, "c").agg(
+        F.sum("m").alias("mc"))
+    per_doc = dc.groupBy("doc_id", *key).agg(
+        F.sum("mc").alias("n_tokens"),
+        F.collect_list(F.struct(F.col("c"), F.col("mc").alias("m"))).alias("_cm"),
+    )
+    scored = (per_doc.join(F.broadcast(totals), key) if key
+              else per_doc.crossJoin(F.broadcast(totals)))
+    sum_ln = F.aggregate(
+        F.expr("transform(array_sort(_cm), p -> p.m * ln(p.c + 1))"),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ce = F.round(
+        F.log(F.col("_n_total") + F.col("_v") + F.lit(1))
+        - sum_ln / F.col("n_tokens"),
+        round_dp,
+    )
+    return scored.select(
+        "doc_id", *key, "n_tokens",
+        ce.alias("cross_entropy"),
+        F.round(F.exp(ce), round_dp).alias("perplexity"),
+    )
+
+
+def perplexity_bucket(scored: DataFrame, head_cutoff: float,
+                      tail_cutoff: float) -> DataFrame:
+    """CCNet head/middle/tail split by FIXED cutoffs (CCNet applies
+    thresholds computed offline per language; see perplexity_cutoffs for
+    the production way to obtain them). Map-only — comparisons run on the
+    already-rounded perplexity, so bucket labels are as deterministic as
+    the scores."""
+    return scored.withColumn(
+        "bucket",
+        F.when(F.col("perplexity") <= head_cutoff, F.lit("head"))
+        .when(F.col("perplexity") <= tail_cutoff, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
+def perplexity_cutoffs(scored: DataFrame, by_lang: bool = True,
+                       qs: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+                       accuracy: int = 10000) -> DataFrame:
+    """Production cutoff estimation: approx_percentile of the perplexity
+    distribution (per language when `by_lang`). Approximate by design —
+    an exact global tertile of 10^12 doc scores is a full sort; CCNet
+    itself uses offline-estimated thresholds. Feed the two values into
+    perplexity_bucket. Pytest-checked for ordering and bucket mass, not
+    oracle-hashed."""
+    key = ["lang"] if by_lang else []
+    pct = F.percentile_approx(
+        "perplexity", F.array(F.lit(qs[0]), F.lit(qs[1])), F.lit(accuracy))
+    agg = (scored.groupBy(*key) if key else scored.groupBy())
+    return agg.agg(
+        pct[0].alias("head_cutoff"), pct[1].alias("tail_cutoff"))

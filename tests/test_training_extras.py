@@ -509,3 +509,72 @@ def test_decontaminate_planted_ngrams(spark):
     assert not out[2].is_contaminated and out[2].n_eval_ngrams_hit == 0
     assert out[3].is_contaminated and out[3].n_eval_ngrams_hit == 1
     assert not out[4].is_contaminated
+
+
+def test_lm_perplexity_rare_words_score_higher(spark):
+    """A doc of corpus-common words must score lower perplexity (CCNet
+    'head') than a doc of corpus-unique words; a hand-computed two-doc
+    corpus pins the exact rounded values."""
+    import math
+
+    from pdf_plumber_util_spark.operators.text_analysis import (
+        lm_perplexity, perplexity_bucket,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en"),
+            (2, "the cat ran to the mat", "en"),
+            (3, "zyx qwv jkl pnm bdg tfr", "en"),  # all hapaxes
+            (4, "", "en"),                          # zero tokens: omitted
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in lm_perplexity(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3].perplexity > out[1].perplexity
+    assert out[3].perplexity > out[2].perplexity
+
+    # pin doc 1 against a direct Python computation: vocab counts over
+    # the 3 docs, p(w) = (c+1)/(N+V+1), ce = mean(-ln p), 4dp rounds
+    from collections import Counter
+
+    corpus = ("the cat sat on the mat the cat ran to the mat "
+              "zyx qwv jkl pnm bdg tfr").split()
+    c = Counter(corpus)
+    n_total, v = len(corpus), len(c)
+    toks = "the cat sat on the mat".split()
+    ce = round(
+        math.log(n_total + v + 1)
+        - sum(math.log(c[t] + 1) for t in toks) / len(toks), 4)
+    assert out[1].cross_entropy == ce
+    assert out[1].perplexity == round(math.exp(ce), 4)
+
+    mid = (out[1].perplexity + out[3].perplexity) / 2
+    buckets = {r.doc_id: r.bucket for r in perplexity_bucket(
+        lm_perplexity(docs), head_cutoff=mid, tail_cutoff=mid).collect()}
+    assert buckets[1] == "head" and buckets[3] == "tail"
+
+
+def test_perplexity_cutoffs_order_and_mass(spark):
+    """Cutoff helper: head <= tail, and bucketing with the estimated
+    cutoffs puts a nonzero mass in every bucket on the sf0.001 corpus."""
+    from pdf_plumber_util_spark.operators.text_analysis import (
+        lm_perplexity, perplexity_bucket, perplexity_cutoffs,
+    )
+    from pdf_plumber_util_spark.sources.tables import load_table
+
+    scored = lm_perplexity(
+        load_table(spark, "/root/testdata/sf0.001", "documents"))
+    cuts = perplexity_cutoffs(scored, by_lang=False).collect()[0]
+    assert cuts.head_cutoff <= cuts.tail_cutoff
+    counts = {
+        r.bucket: r.n
+        for r in perplexity_bucket(scored, cuts.head_cutoff, cuts.tail_cutoff)
+        .groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    # approx tertiles: head and middle hold roughly a third each
+    assert counts.get("head", 0) > total * 0.2
+    assert counts.get("middle", 0) > total * 0.2
+    assert counts.get("tail", 0) > 0
