@@ -255,6 +255,19 @@ def cmd_curate(args) -> int:
     if args.text_col != "text":
         docs = docs.withColumnRenamed(args.text_col, "text")
 
+    domain_keep = None
+    if args.block_domains:
+        from .operators.webtext import domain_gate
+
+        if "url" not in docs.columns:
+            raise EngineError(
+                "--block-domains needs a 'url' column on the input",
+                suggestion="add a url column or drop --block-domains",
+            )
+        rules = [d.strip() for d in args.block_domains.split(",") if d.strip()]
+        domain_keep = domain_gate(docs, rules).select(
+            "doc_id", (~F.col("is_blocked")).alias("domain_keep")
+        )
     quality = gopher_quality(docs, min_words=args.min_words).select(
         "doc_id", F.col("keep").alias("quality_keep")
     )
@@ -273,6 +286,12 @@ def cmd_curate(args) -> int:
             "repetition_keep", F.coalesce("repetition_keep", F.lit(True))
         )
     )
+    if domain_keep is not None:
+        flags = flags.join(domain_keep, "doc_id", "left").withColumn(
+            "domain_keep", F.coalesce("domain_keep", F.lit(True))
+        )
+    else:
+        flags = flags.withColumn("domain_keep", F.lit(True))
     if args.eval_input:
         ev = spark.read.parquet(args.eval_input)
         if args.id_col != "doc_id":
@@ -288,7 +307,8 @@ def cmd_curate(args) -> int:
     else:
         flags = flags.withColumn("is_contaminated", F.lit(False))
     keep = (
-        F.col("quality_keep")
+        F.col("domain_keep")
+        & F.col("quality_keep")
         & F.col("repetition_keep")
         & ~F.col("is_duplicate")
         & ~F.col("is_contaminated")
@@ -312,8 +332,8 @@ def cmd_curate(args) -> int:
     out = (
         flags.join(scrubbed, "doc_id")
         .select(
-            "doc_id", "keep", "quality_keep", "repetition_keep",
-            "is_duplicate", "is_contaminated",
+            "doc_id", "keep", "domain_keep", "quality_keep",
+            "repetition_keep", "is_duplicate", "is_contaminated",
             F.col("scrubbed_text").alias("text"),
             (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias(
                 "n_pii_redactions"
@@ -324,6 +344,7 @@ def cmd_curate(args) -> int:
     written = spark.read.parquet(path)
     funnel = written.agg(
         F.count("*").alias("docs"),
+        F.sum(F.col("domain_keep").cast("long")).alias("domain_pass"),
         F.sum(F.col("quality_keep").cast("long")).alias("quality_pass"),
         F.sum(F.col("repetition_keep").cast("long")).alias("repetition_pass"),
         F.sum((~F.col("is_duplicate")).cast("long")).alias("unique"),
@@ -398,6 +419,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--min-words", type=int, default=50)
+    p.add_argument("--block-domains", default=None,
+                   help="comma-separated domain blocklist (label-suffix "
+                        "match); needs a url column")
     p.add_argument("--eval-input", default=None,
                    help="benchmark parquet; docs sharing an n-gram with "
                         "it are dropped")

@@ -2088,3 +2088,38 @@ SELECT doc_id, lang, n_tokens, cross_entropy, perplexity,
        ELSE 'tail' END AS bucket
 FROM scored
 """
+
+
+# -------- UT1-style domain blocklist gate (round 3)
+
+
+def q_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist gate over the messy-url corpus: two rules block the
+    dup.example.com half-corpus plus one source host (non-vacuous
+    ~60/40 split at sf0.01)."""
+    from .operators.webtext import domain_gate
+
+    return domain_gate(
+        _messy_urls(load_table(spark, sf_dir, "documents")),
+        ["dup.example.com", "src7.example.com"],
+    ).select("doc_id", "url", "host", "matched_rule", "is_blocked")
+
+
+EXTRA_QUERIES["u4_domain_gate"] = q_domain_gate
+
+EXTRA_ORACLES["u4_domain_gate"] = _MESSY_URLS_SQL + r"""
+, hosted AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^[^:]+://(?:[^/?#]*@)?(\[[^\]]+\]|[^/?#:@]+)', 1)) AS host
+  FROM messy
+)
+SELECT doc_id, url, host,
+  (SELECT MIN(r.rule)
+     FROM (VALUES ('dup.example.com'), ('src7.example.com')) r(rule)
+    WHERE h.host = r.rule OR h.host LIKE '%.' || r.rule) AS matched_rule,
+  (SELECT MIN(r.rule)
+     FROM (VALUES ('dup.example.com'), ('src7.example.com')) r(rule)
+    WHERE h.host = r.rule OR h.host LIKE '%.' || r.rule) IS NOT NULL
+    AS is_blocked
+FROM hosted h
+"""

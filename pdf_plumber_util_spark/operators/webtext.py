@@ -591,3 +591,60 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
         "doc_id", "n_tokens", "token_offset",
         first.alias("first_pack"), last.alias("last_pack"),
     )
+
+
+def domain_gate(df: DataFrame, domains: list[str], url_col: str = "url",
+                mode: str = "block", via_join: bool = False) -> DataFrame:
+    """UT1-style domain list gate (the blocklist stage every crawl
+    curation pipeline runs before content filters). A rule matches a
+    host at LABEL boundaries only: rule "ads.net" blocks "ads.net" and
+    "sub.ads.net" but never "notads.net" — naive endswith gets this
+    wrong. When several rules match, `matched_rule` is the
+    lexicographically smallest (deterministic).
+
+    mode="block": is_blocked = some rule matches; mode="allow": inverted
+    (keep only listed domains, e.g. a curated-source allowlist).
+
+    Two physical paths with identical output:
+      * default (literal): the rule set rides the plan as an array
+        literal and matching is array_intersect over the host's label
+        suffixes — map-only, ZERO shuffles. Right up to ~10k rules.
+      * via_join=True: explode the <=#labels suffixes per row and
+        broadcast-equi-join the rule table, then a doc-keyed min — for
+        UT1-sized lists (millions of rules) that cannot be a literal.
+        The broadcast is rules-sized; the corpus never reshuffles its
+        text (only the url/suffix projection moves).
+    """
+    if mode not in ("block", "allow"):
+        raise ValueError("mode must be 'block' or 'allow'")
+    rules = sorted(set(d.lower() for d in domains))
+    host = host_of(F.col(url_col))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."),
+    )
+    base = df.withColumn("host", host)
+    if not via_join:
+        lit_rules = F.array(*[F.lit(r) for r in rules]) if rules else (
+            F.array().cast("array<string>"))
+        matched = F.array_min(F.array_intersect(suffixes, lit_rules))
+        out = base.withColumn("matched_rule", matched)
+    else:
+        spark = df.sparkSession
+        rules_df = spark.createDataFrame(
+            [(r,) for r in rules], "rule string")
+        keys = [c for c in ("doc_id", url_col) if c in base.columns]
+        exploded = base.select(
+            *keys, F.explode_outer(suffixes).alias("_sfx"))
+        hits = (
+            exploded.join(F.broadcast(rules_df),
+                          exploded["_sfx"] == rules_df["rule"], "left")
+            .groupBy(*keys)
+            .agg(F.min("rule").alias("matched_rule"))
+        )
+        out = base.join(hits, keys, "left")
+    blocked = (out["matched_rule"].isNotNull() if mode == "block"
+               else out["matched_rule"].isNull())
+    return out.withColumn("is_blocked", blocked)

@@ -111,3 +111,26 @@ def test_cli_curate(spark, sf_dir, tmp_path, capsys):
     f2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert f2["clean"] < f2["docs"]
     assert f2["kept"] <= f2["clean"]
+
+
+def test_cli_curate_block_domains(spark, tmp_path, capsys):
+    docs_path = str(tmp_path / "docs_with_urls")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today",
+             "en", "https://spam.ads.net/x"),
+            (2, "a completely different sentence with many fine words here",
+             "en", "https://good.example.org/y"),
+        ],
+        "doc_id long, text string, lang string, url string",
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "outd")
+    assert cli.main(["curate", "--input", docs_path, "--output", out,
+                     "--basename", "bd", "--min-words", "5",
+                     "--block-domains", "ads.net", "--cores", "4"]) == 0
+    funnel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert funnel["docs"] == 2 and funnel["domain_pass"] == 1
+    rows = {r.doc_id: r for r in
+            spark.read.parquet(funnel["curated"]).collect()}
+    assert not rows[1].domain_keep and not rows[1].keep
+    assert rows[2].domain_keep

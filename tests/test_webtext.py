@@ -322,3 +322,48 @@ def test_pack_sequences_prefix_sum_twin(spark):
         for r in pack_sequences(df, seq_len=16, bucket_span=1000).collect()
     }
     assert all(alt[d].token_offset == out[d].token_offset for d, _ in rows)
+
+
+def test_domain_gate_label_boundaries(spark):
+    """Rules match whole label suffixes only: ads.net blocks sub.ads.net
+    but never notads.net (the endswith trap). Literal and broadcast-join
+    paths agree row-for-row; allow mode inverts."""
+    from pdf_plumber_util_spark.operators.webtext import domain_gate
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://ads.net/x"),            # exact match
+            (2, "https://sub.ads.net/x"),        # suffix match
+            (3, "https://notads.net/x"),         # endswith trap: NOT blocked
+            (4, "http://tracker.example.org:8080/p"),  # second rule, port
+            (5, "https://clean.example.net/x"),  # no rule
+            (6, "https://ADS.NET/caps"),         # case-folded host
+        ],
+        "doc_id long, url string",
+    )
+    rules = ["ads.net", "example.org"]
+    got = {r.doc_id: r for r in domain_gate(df, rules).collect()}
+    assert got[1].is_blocked and got[1].matched_rule == "ads.net"
+    assert got[2].is_blocked and got[2].matched_rule == "ads.net"
+    assert not got[3].is_blocked and got[3].matched_rule is None
+    assert got[4].is_blocked and got[4].matched_rule == "example.org"
+    assert not got[5].is_blocked
+    assert got[6].is_blocked
+
+    via_join = {r.doc_id: r for r in domain_gate(df, rules, via_join=True)
+                .select("doc_id", "url", "host", "matched_rule", "is_blocked")
+                .collect()}
+    assert via_join == {
+        r.doc_id: r for r in domain_gate(df, rules)
+        .select("doc_id", "url", "host", "matched_rule", "is_blocked")
+        .collect()
+    }
+
+    allowed = {r.doc_id: r.is_blocked
+               for r in domain_gate(df, rules, mode="allow").collect()}
+    assert allowed == {1: False, 2: False, 3: True, 4: False, 5: True,
+                       6: False}
+
+    # empty rule list: block mode passes everything, allow mode nothing
+    none = domain_gate(df, [], mode="block")
+    assert none.filter("is_blocked").count() == 0
