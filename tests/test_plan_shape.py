@@ -392,3 +392,18 @@ def test_decontaminate_broadcasts_eval_side(spark):
     other = [k for k in hash_exchanges if not k.startswith("shingle")]
     assert len(shingle_keyed) <= 1, hash_exchanges
     assert other and all(k.startswith("doc_id") for k in other), hash_exchanges
+
+
+def test_domain_gate_literal_zero_exchanges(spark):
+    """The literal domain_gate path must stay a pure projection — the
+    rule set rides the plan as an array literal, so no shuffle and no
+    join node may appear."""
+    from pdf_plumber_util_spark.operators.webtext import domain_gate
+
+    df = spark.createDataFrame(
+        [(i, f"https://h{i}.ads.net/p") for i in range(4)],
+        "doc_id long, url string",
+    )
+    plan = _plan(domain_gate(df, ["ads.net", "example.org"]))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
