@@ -2123,3 +2123,62 @@ SELECT doc_id, url, host,
     AS is_blocked
 FROM hosted h
 """
+
+
+# -------- ExactSubstr-style duplicate-span stats (round 3)
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window duplicate-span coverage at the Lee et al. defaults
+    scaled to the synthetic corpus (20-token spans, stride 5; 326
+    duplicate instances across 45 docs at sf0.01 — non-vacuous)."""
+    from .operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(
+        load_table(spark, sf_dir, "documents"), span_words=20, stride=5)
+
+
+EXTRA_QUERIES["d11_duplicate_spans"] = q_duplicate_spans
+
+EXTRA_ORACLES["d11_duplicate_spans"] = r"""
+WITH base AS (
+  SELECT doc_id,
+    regexp_split_to_array(
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), spans AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+    CASE WHEN len(t) >= 20 THEN range(1, len(t) - 20 + 2, 5)
+         ELSE [] END AS starts, t
+  FROM base
+), inst AS (
+  SELECT doc_id, CAST(u.p AS BIGINT) AS pos,
+    md5(array_to_string(t[u.p : u.p + 19], ' ')) AS h
+  FROM spans, unnest(starts) u(p)
+), grp AS (
+  SELECT h, COUNT(*) AS cnt,
+    MIN({'doc_id': doc_id, 'pos': pos}) AS first
+  FROM inst GROUP BY h
+), dup_inst AS (
+  SELECT i.doc_id, i.pos, i.pos + 19 AS e
+  FROM inst i JOIN grp g USING (h)
+  WHERE g.cnt > 1
+    AND NOT (i.doc_id = g.first.doc_id AND i.pos = g.first.pos)
+), swept AS (
+  SELECT doc_id, pos, e,
+    GREATEST(0, e - GREATEST(
+      COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+      pos - 1)) AS covered
+  FROM dup_inst
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+    CAST(SUM(covered) AS BIGINT) AS dup_tokens
+  FROM swept GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tokens, CAST(len(s.starts) AS BIGINT) AS n_spans,
+  COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+  COALESCE(p.dup_tokens, 0) AS dup_tokens,
+  CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / s.n_tokens AS dup_token_frac
+FROM spans s LEFT JOIN per_doc p USING (doc_id)
+"""

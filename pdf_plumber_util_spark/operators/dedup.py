@@ -17,7 +17,7 @@ Scale notes (the design constraint, per the task brief):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_line
@@ -517,4 +517,104 @@ def decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = 13) -> DataFr
             "n_eval_ngrams_hit"
         ),
         (F.coalesce("n_eval_ngrams_hit", F.lit(0)) > 0).alias("is_contaminated"),
+    )
+
+
+def duplicate_span_stats(docs: DataFrame, span_words: int = 20,
+                         stride: int = 5) -> DataFrame:
+    """ExactSubstr-style duplicate-SPAN statistics (Lee et al. 2022's
+    suffix-array dedup, re-expressed as a sliding-window scan — the
+    span-level signal RefinedWeb-class pipelines act on). Every
+    ``span_words``-token window at stride ``stride`` is hashed; an
+    instance is a duplicate if its hash occurs anywhere else in the
+    corpus (another doc OR the same doc) and it is not the globally
+    first occurrence (smallest (doc_id, pos) — deterministic). Per doc,
+    the duplicated-token count is the EXACT interval union of its
+    duplicate windows (overlapping windows are not double-counted),
+    computed by the classic running-max-end sweep.
+
+    Output, one row per input doc (zero-filled when nothing matched):
+      (doc_id, n_tokens, n_spans, n_dup_spans, dup_tokens,
+       dup_token_frac).
+
+    Versus paragraph_dedup (fixed disjoint chunks): the sliding window
+    catches duplicates at ANY alignment — a copied paragraph that starts
+    mid-chunk is invisible to the chunker but covered here; stride
+    trades recall for the tokens/stride row amplification.
+
+    Shape at scale: window hashing is a map-side projection; the
+    corpus-wide exchanges are the groupBy on the span hash (uniform md5;
+    mega-duplicate spans absorbed by the partial aggregate) and the
+    hash-keyed join back. The interval-union window partitions by
+    doc_id over DUPLICATE instances only — bounded per doc, never
+    corpus-wide. No collects.
+    """
+    if stride < 1 or span_words < 1:
+        raise ValueError("span_words and stride must be >= 1")
+    toks = F.split(_norm(F.col("text")), " ")
+    n = F.size(toks)
+    starts = F.when(
+        n >= span_words,
+        F.sequence(F.lit(1), n - span_words + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    base = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.transform(
+            starts,
+            lambda p: F.struct(
+                p.cast("long").alias("pos"),
+                F.md5(F.array_join(F.slice(toks, p, span_words), " ")).alias("h"),
+            ),
+        ).alias("_spans"),
+    )
+    inst = base.select(
+        "doc_id", F.explode("_spans").alias("s")
+    ).select("doc_id", F.col("s")["pos"].alias("pos"), F.col("s")["h"].alias("h"))
+    grp = inst.groupBy("h").agg(
+        F.count("*").cast("long").alias("_cnt"),
+        F.min(F.struct("doc_id", "pos")).alias("_first"),
+    )
+    dup_inst = (
+        inst.join(grp, "h")
+        .filter(
+            (F.col("_cnt") > 1)
+            & ~(
+                (F.col("doc_id") == F.col("_first")["doc_id"])
+                & (F.col("pos") == F.col("_first")["pos"])
+            )
+        )
+        .select("doc_id", "pos", (F.col("pos") + span_words - 1).alias("_end"))
+    )
+    sweep = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    covered = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("_end")
+        - F.greatest(
+            F.coalesce(F.max("_end").over(sweep), F.lit(0).cast("long")),
+            F.col("pos") - 1,
+        ),
+    )
+    per_doc = (
+        dup_inst.withColumn("_covered", covered)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_dup_spans"),
+            F.sum("_covered").alias("dup_tokens"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens", F.size("_spans").cast("long").alias("n_spans"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0).cast("long")).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_token_frac"),
+        )
     )

@@ -578,3 +578,44 @@ def test_perplexity_cutoffs_order_and_mass(spark):
     assert counts.get("head", 0) > total * 0.2
     assert counts.get("middle", 0) > total * 0.2
     assert counts.get("tail", 0) > 0
+
+
+def test_duplicate_span_stats_alignment_and_union(spark):
+    """Sliding windows catch a copied run at ANY alignment (the fixed
+    chunker's blind spot), the first global occurrence is never counted,
+    and overlapping duplicate windows are unioned, not double-counted."""
+    from pdf_plumber_util_spark.operators.dedup import duplicate_span_stats
+
+    run = " ".join(f"w{i}" for i in range(12))  # 12 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, run + " u1 u2 u3"),            # owns the run (first)
+            (2, "x1 x2 x3 " + run),            # copy at offset 3
+            (3, "y1 y2 y3 y4 y5 y6 y7 y8"),    # unique, 8 < span_words
+            (4, run + " " + run),               # intra-doc repeat
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_span_stats(
+        docs, span_words=10, stride=1).collect()}
+
+    # doc 3: too short for any span
+    assert out[3].n_spans == 0 and out[3].dup_tokens == 0
+    # doc 1 holds the global first occurrences (smallest doc_id)
+    assert out[1].n_dup_spans == 0 and out[1].dup_token_frac == 0.0
+    # doc 2: its copy of the run duplicates doc 1's windows despite the
+    # 3-token offset; union of the 3 overlapping windows = 12 tokens
+    assert out[2].n_dup_spans == 3
+    assert out[2].dup_tokens == 12
+    assert out[2].dup_token_frac == 12 / 15
+    # doc 4: 25 tokens, windows at pos 1..16; pos 1..3 duplicate doc 1's
+    # (same hashes), and the second copy's windows duplicate the first's
+    assert out[4].n_dup_spans > 3
+    assert out[4].dup_tokens <= out[4].n_tokens
+
+    # defaults sanity on the zero-dup corpus: all-unique docs report 0
+    uniq = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(30))) for i in range(3)],
+        "doc_id long, text string",
+    )
+    assert duplicate_span_stats(uniq).filter("n_dup_spans > 0").count() == 0
