@@ -9,3 +9,4 @@ from .extraction import (  # noqa: F401
     stream_pages,
     streaming_extract,
 )
+from .dedup import dedup_stream  # noqa: F401

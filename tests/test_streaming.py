@@ -161,3 +161,45 @@ def test_write_batch_idempotent_replay(spark, tmp_path):
     got = spark.read.parquet(out)
     assert sorted(r["url"] for r in got.collect()) == ["u1", "u2", "u3"]
     assert got.filter("_batch_id = 0").count() == 2
+
+
+def test_dedup_stream_parity(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on the
+    normalized-content md5) drained with availableNow keeps exactly one
+    survivor per batch-dedup fingerprint group, each survivor is a real
+    input row, and unique docs all pass through."""
+    from pdf_plumber_util_spark.operators.dedup import exact_duplicates
+    from pdf_plumber_util_spark.streaming.dedup import dedup_stream
+    from pdf_plumber_util_spark.streaming.events import run_stream_once
+
+    src = str(tmp_path / "docs_stream")
+    rows = [
+        (1, "2026-01-01 00:00:00", "the same page text"),
+        (2, "2026-01-01 00:05:00", "THE  same   page text"),  # norm-dup of 1
+        (3, "2026-01-01 01:00:00", "a different page"),
+        (4, "2026-01-01 02:00:00", "the same page text"),     # dup of 1
+        (5, "2026-01-01 03:00:00", "unique third text"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, ts string, text string"
+    ).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = dedup_stream(spark.readStream.schema(schema).parquet(src))
+    got = run_stream_once(stream, out_mode="append")
+    batch = spark.read.parquet(src)
+
+    # one survivor per fingerprint group, same fingerprint universe as
+    # the batch operator
+    batch_fps = {r.fingerprint for r in exact_duplicates(
+        batch.select("doc_id", "text")).collect()}
+    surv_fps = [r.fingerprint for r in got]
+    assert sorted(set(surv_fps)) == sorted(batch_fps)
+    assert len(surv_fps) == len(set(surv_fps)) == 3
+
+    # every survivor is an actual input row, text intact
+    by_id = {r[0]: r for r in rows}
+    for r in got:
+        assert by_id[r.doc_id][2] == r.text
+    # the unique docs always survive
+    assert {3, 5} <= {r.doc_id for r in got}
