@@ -361,14 +361,30 @@ def lm_perplexity(docs: DataFrame, text_col: str = "text",
         vocab.agg(F.sum("c").alias("_n_total"),
                   F.count("*").cast("long").alias("_v"))
     )
-    dc = dw.join(vocab, key + ["word"]).groupBy("doc_id", *key, "c").agg(
-        F.sum("m").alias("mc"))
+    # joins are NULL-SAFE on lang (eqNullSafe): docs with lang NULL form
+    # their own LM group instead of silently vanishing through an inner
+    # equi-join on a null key
+    if key:
+        dc_join = dw.alias("d").join(
+            vocab.alias("v"),
+            F.col("d.lang").eqNullSafe(F.col("v.lang"))
+            & (F.col("d.word") == F.col("v.word")),
+        ).select("d.doc_id", "d.lang", "d.m", "v.c")
+    else:
+        dc_join = dw.join(vocab, ["word"]).select("doc_id", "m", "c")
+    dc = dc_join.groupBy("doc_id", *key, "c").agg(F.sum("m").alias("mc"))
     per_doc = dc.groupBy("doc_id", *key).agg(
         F.sum("mc").alias("n_tokens"),
         F.collect_list(F.struct(F.col("c"), F.col("mc").alias("m"))).alias("_cm"),
     )
-    scored = (per_doc.join(F.broadcast(totals), key) if key
-              else per_doc.crossJoin(F.broadcast(totals)))
+    if key:
+        scored = per_doc.alias("p").join(
+            F.broadcast(totals.alias("t")),
+            F.col("p.lang").eqNullSafe(F.col("t.lang")),
+        ).select("p.doc_id", "p.lang", "p.n_tokens", "p._cm",
+                 "t._n_total", "t._v")
+    else:
+        scored = per_doc.crossJoin(F.broadcast(totals))
     sum_ln = F.aggregate(
         F.expr("transform(array_sort(_cm), p -> p.m * ln(p.c + 1))"),
         F.lit(0.0),

@@ -619,3 +619,22 @@ def test_duplicate_span_stats_alignment_and_union(spark):
         "doc_id long, text string",
     )
     assert duplicate_span_stats(uniq).filter("n_dup_spans > 0").count() == 0
+
+
+def test_lm_perplexity_null_lang_not_dropped(spark):
+    """Docs with lang NULL form their own LM group (null-safe joins)
+    instead of silently vanishing through an inner join on a null key."""
+    from pdf_plumber_util_spark.operators.text_analysis import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat", "en"), (2, "sans langue ici", None),
+         (3, "sans langue la", None)],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in lm_perplexity(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2].lang is None and out[2].n_tokens == 3
+    # the null group's LM is trained on docs 2+3 only: 'sans'/'langue'
+    # have corpus count 2, the tail words count 1; doc 1's English LM is
+    # independent of them
+    assert out[2].cross_entropy == out[3].cross_entropy
