@@ -275,6 +275,17 @@ def cmd_curate(args) -> int:
         "doc_id", F.col("keep").alias("repetition_keep")
     )
     dup = exact_duplicates(docs).select("doc_id", "is_duplicate")
+    span_keep = None
+    if args.max_dup_span_frac is not None:
+        from .operators.dedup import duplicate_span_stats
+
+        span_keep = duplicate_span_stats(
+            docs, span_words=args.span_words, stride=args.span_stride
+        ).select(
+            "doc_id",
+            (F.col("dup_token_frac") <= args.max_dup_span_frac)
+            .alias("span_keep"),
+        )
     flags = (
         docs.select("doc_id")
         .join(quality, "doc_id", "left")
@@ -292,6 +303,12 @@ def cmd_curate(args) -> int:
         )
     else:
         flags = flags.withColumn("domain_keep", F.lit(True))
+    if span_keep is not None:
+        flags = flags.join(span_keep, "doc_id", "left").withColumn(
+            "span_keep", F.coalesce("span_keep", F.lit(True))
+        )
+    else:
+        flags = flags.withColumn("span_keep", F.lit(True))
     if args.eval_input:
         ev = spark.read.parquet(args.eval_input)
         if args.id_col != "doc_id":
@@ -308,6 +325,7 @@ def cmd_curate(args) -> int:
         flags = flags.withColumn("is_contaminated", F.lit(False))
     keep = (
         F.col("domain_keep")
+        & F.col("span_keep")
         & F.col("quality_keep")
         & F.col("repetition_keep")
         & ~F.col("is_duplicate")
@@ -332,7 +350,7 @@ def cmd_curate(args) -> int:
     out = (
         flags.join(scrubbed, "doc_id")
         .select(
-            "doc_id", "keep", "domain_keep", "quality_keep",
+            "doc_id", "keep", "domain_keep", "span_keep", "quality_keep",
             "repetition_keep", "is_duplicate", "is_contaminated",
             F.col("scrubbed_text").alias("text"),
             (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias(
@@ -345,6 +363,7 @@ def cmd_curate(args) -> int:
     funnel = written.agg(
         F.count("*").alias("docs"),
         F.sum(F.col("domain_keep").cast("long")).alias("domain_pass"),
+        F.sum(F.col("span_keep").cast("long")).alias("span_pass"),
         F.sum(F.col("quality_keep").cast("long")).alias("quality_pass"),
         F.sum(F.col("repetition_keep").cast("long")).alias("repetition_pass"),
         F.sum((~F.col("is_duplicate")).cast("long")).alias("unique"),
@@ -422,6 +441,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--block-domains", default=None,
                    help="comma-separated domain blocklist (label-suffix "
                         "match); needs a url column")
+    p.add_argument("--max-dup-span-frac", type=float, default=None,
+                   help="drop docs whose duplicated-span token coverage "
+                        "(ExactSubstr sliding windows) exceeds this")
+    p.add_argument("--span-words", type=int, default=20)
+    p.add_argument("--span-stride", type=int, default=5)
     p.add_argument("--eval-input", default=None,
                    help="benchmark parquet; docs sharing an n-gram with "
                         "it are dropped")

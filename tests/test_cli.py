@@ -134,3 +134,28 @@ def test_cli_curate_block_domains(spark, tmp_path, capsys):
             spark.read.parquet(funnel["curated"]).collect()}
     assert not rows[1].domain_keep and not rows[1].keep
     assert rows[2].domain_keep
+
+
+def test_cli_curate_dup_span_gate(spark, tmp_path, capsys):
+    docs_path = str(tmp_path / "docs_spans")
+    run = " ".join(f"w{i}" for i in range(25))
+    spark.createDataFrame(
+        [
+            (1, run, "en"),                                    # first owner
+            (2, run + " extra tail words here", "en"),         # heavy copy
+            (3, " ".join(f"u{i}" for i in range(25)), "en"),   # unique
+        ],
+        "doc_id long, text string, lang string",
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "outs")
+    assert cli.main(["curate", "--input", docs_path, "--output", out,
+                     "--basename", "sp", "--min-words", "5",
+                     "--max-dup-span-frac", "0.5", "--span-words", "10",
+                     "--span-stride", "1", "--cores", "4"]) == 0
+    funnel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert funnel["docs"] == 3 and funnel["span_pass"] == 2
+    rows = {r.doc_id: r for r in
+            spark.read.parquet(funnel["curated"]).collect()}
+    assert rows[1].span_keep          # global first occurrence
+    assert not rows[2].span_keep      # copy: coverage > 0.5
+    assert rows[3].span_keep
