@@ -2182,3 +2182,61 @@ SELECT s.doc_id, s.n_tokens, CAST(len(s.starts) AS BIGINT) AS n_spans,
   CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / s.n_tokens AS dup_token_frac
 FROM spans s LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+# -------- DSIR-style importance weights (round 3)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weights of every doc against the English subset as the
+    target corpus — the 'make the mix look like the target' selection
+    signal (English docs should score high, zh/de/fr low)."""
+    from .operators.text_analysis import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+EXTRA_QUERIES["t13_dsir_weights"] = q_dsir_weights
+
+EXTRA_ORACLES["t13_dsir_weights"] = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+), dw AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS m
+  FROM words GROUP BY doc_id, word
+), raw_vocab AS (
+  SELECT word, CAST(SUM(m) AS BIGINT) AS cr FROM dw GROUP BY word
+), raw_tot AS (
+  SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(COUNT(*) AS BIGINT) AS vr
+  FROM raw_vocab
+), tgt_words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents WHERE lang = 'en'
+), tgt_vocab AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS ct FROM tgt_words GROUP BY word
+), tgt_tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS vt
+  FROM tgt_vocab
+), joined AS (
+  SELECT dw.doc_id, dw.m, rv.cr, COALESCE(tv.ct, 0) AS ct
+  FROM dw JOIN raw_vocab rv USING (word)
+  LEFT JOIN tgt_vocab tv USING (word)
+), grouped AS (
+  SELECT doc_id, ct, cr, CAST(SUM(m) AS BIGINT) AS mc
+  FROM joined GROUP BY doc_id, ct, cr
+), pd AS (
+  SELECT doc_id, CAST(SUM(mc) AS BIGINT) AS n_tokens,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(list_sort(list({'ct': ct, 'cr': cr, 'm': mc})),
+          p -> CAST(p.m AS DOUBLE) * (ln(p.ct + 1) - ln(p.cr + 1)))),
+      (acc, x) -> acc + x) AS fold
+  FROM grouped GROUP BY doc_id
+)
+SELECT pd.doc_id, pd.n_tokens,
+  round(pd.fold + pd.n_tokens * (ln(r.nr + r.vr + 1) - ln(t.nt + t.vt + 1)),
+        4) AS log_weight
+FROM pd, raw_tot r, tgt_tot t
+"""

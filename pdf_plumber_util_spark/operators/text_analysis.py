@@ -432,3 +432,90 @@ def perplexity_cutoffs(scored: DataFrame, by_lang: bool = True,
     agg = (scored.groupBy(*key) if key else scored.groupBy())
     return agg.agg(
         pct[0].alias("head_cutoff"), pct[1].alias("tail_cutoff"))
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame,
+                 text_col: str = "text", round_dp: int = 4) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling", simplified to unigram features): score every raw doc by
+    how much more likely a TARGET-corpus LM finds it than the raw-corpus
+    LM —
+
+      log_weight(x) = log p_target(x) - log p_raw(x)
+
+    under add-one unigram LMs trained on `target` and on `docs`
+    respectively (same estimator as lm_perplexity; a word absent from a
+    vocab scores ln(0+1)=0 in the fold and the OOV mass rides the
+    ln(N+V+1) normalizer). High log_weight = target-like; resample with
+    mix_sample-style deterministic thresholds or rank-select downstream.
+
+    Determinism: one sequential fold over the per-doc (ct, cr, m) terms
+    sorted by that struct — identical order in the DuckDB oracle's
+    list_sort/list_reduce — then rounded, exactly the t12 discipline.
+
+    Shape at scale: the raw side is lm_perplexity's shape (text-sized
+    exchange to (doc,word), word-sized vocab, word-keyed join). The
+    target vocab joins LEFT so OOV words keep scoring; both totals rows
+    broadcast. No collects, no global sort.
+    """
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit("[a-z0-9]+"), 0)
+        ).alias("word"),
+    )
+    dw = words.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("m"))
+    raw_vocab = dw.groupBy("word").agg(F.sum("m").alias("cr"))
+    raw_tot = raw_vocab.agg(
+        F.sum("cr").alias("_nr"), F.count("*").cast("long").alias("_vr"))
+    tgt_words = target.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit("[a-z0-9]+"), 0)
+        ).alias("word"),
+    )
+    tgt_vocab = tgt_words.groupBy("word").agg(
+        F.count("*").cast("long").alias("ct"))
+    tgt_tot = tgt_vocab.agg(
+        F.sum("ct").alias("_nt"), F.count("*").cast("long").alias("_vt"))
+
+    joined = (
+        dw.join(raw_vocab, "word")
+        .join(tgt_vocab, "word", "left")
+        .select(
+            "doc_id", "m", "cr",
+            F.coalesce("ct", F.lit(0).cast("long")).alias("ct"),
+        )
+    )
+    per_doc = (
+        joined.groupBy("doc_id", "ct", "cr")
+        .agg(F.sum("m").alias("mc"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("mc").alias("n_tokens"),
+            F.collect_list(
+                F.struct(F.col("ct"), F.col("cr"), F.col("mc").alias("m"))
+            ).alias("_terms"),
+        )
+    )
+    scored = per_doc.crossJoin(F.broadcast(raw_tot)).crossJoin(
+        F.broadcast(tgt_tot))
+    fold = F.aggregate(
+        F.expr(
+            "transform(array_sort(_terms),"
+            " p -> p.m * (ln(p.ct + 1) - ln(p.cr + 1)))"
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    log_w = F.round(
+        fold
+        + F.col("n_tokens")
+        * (F.log(F.col("_nr") + F.col("_vr") + F.lit(1))
+           - F.log(F.col("_nt") + F.col("_vt") + F.lit(1))),
+        round_dp,
+    )
+    return scored.select("doc_id", "n_tokens", log_w.alias("log_weight"))

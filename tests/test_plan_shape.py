@@ -407,3 +407,17 @@ def test_domain_gate_literal_zero_exchanges(spark):
     plan = _plan(domain_gate(df, ["ads.net", "example.org"]))
     assert "Exchange" not in plan, plan[:2000]
     assert "Join" not in plan, plan[:2000]
+
+
+def test_lm_perplexity_totals_broadcast(spark):
+    """The per-language totals join in lm_perplexity must be a broadcast
+    (totals is languages-sized), never a shuffle join or cartesian."""
+    from pdf_plumber_util_spark.operators.text_analysis import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}", "en") for i in range(4)],
+        "doc_id long, text string, lang string",
+    )
+    plan = _plan(lm_perplexity(docs))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]

@@ -638,3 +638,39 @@ def test_lm_perplexity_null_lang_not_dropped(spark):
     # have corpus count 2, the tail words count 1; doc 1's English LM is
     # independent of them
     assert out[2].cross_entropy == out[3].cross_entropy
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs made of target-corpus words must outweigh docs of words the
+    target never saw; per-token pin against a direct Python computation."""
+    import math
+    from collections import Counter
+
+    from pdf_plumber_util_spark.operators.text_analysis import dsir_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),       # target-like
+            (2, "zyx qwv jkl pnm bdg tfr"),      # alien to the target
+            (3, "the cat zyx qwv on mat"),       # mixed
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "the cat sat on a mat and the cat ran to the mat")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dsir_weights(docs, target).collect()}
+    assert out[1].log_weight > out[3].log_weight > out[2].log_weight
+
+    # pin doc 1 exactly: raw LM over docs 1-3, target LM over the target
+    raw = Counter("the cat sat on the mat zyx qwv jkl pnm bdg tfr "
+                  "the cat zyx qwv on mat".split())
+    tgt = Counter("the cat sat on a mat and the cat ran to the mat".split())
+    nr, vr = sum(raw.values()), len(raw)
+    nt, vt = sum(tgt.values()), len(tgt)
+    toks = "the cat sat on the mat".split()
+    lw = round(
+        sum(math.log(tgt[t] + 1) - math.log(raw[t] + 1) for t in toks)
+        + len(toks) * (math.log(nr + vr + 1) - math.log(nt + vt + 1)), 4)
+    assert out[1].log_weight == lw
