@@ -320,3 +320,58 @@ def test_paragraph_dedup_matches_python_twin(spark, docs_words, chunk_words):
         assert got[i]["n_chunks"] == len(chunks)
         assert got[i]["n_chunks_kept"] == len(kept)
         assert got[i]["deduped_text"] == " ".join(kept)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("aa bb cc".split()), min_size=0,
+                 max_size=20),
+        min_size=1, max_size=6,
+    ),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=10, deadline=None)
+def test_duplicate_span_stats_matches_python_twin(spark, docs_words,
+                                                  span_words, stride):
+    """Sliding-window duplicate coverage equals an independent
+    pure-Python restatement on random small-vocab docs for any
+    (span_words, stride): global first (doc_id, pos) per window text
+    wins, later instances cover their exact interval union."""
+    from pdf_plumber_util_spark.operators.dedup import duplicate_span_stats
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           duplicate_span_stats(df, span_words, stride).collect()}
+
+    # twin: tokenization mirrors _norm (split on single space after
+    # collapse; '' -> [''])
+    toks = {i: " ".join(ws).split(" ") for i, ws in enumerate(docs_words)}
+    insts = []  # (doc, pos, text) in (doc, pos) order
+    for i in sorted(toks):
+        t = toks[i]
+        if len(t) >= span_words:
+            for p in range(1, len(t) - span_words + 2, stride):
+                insts.append((i, p, " ".join(t[p - 1:p - 1 + span_words])))
+    from collections import Counter
+    cnt = Counter(text for _, _, text in insts)
+    first = {}
+    for d, p, text in insts:  # already (doc, pos) sorted
+        first.setdefault(text, (d, p))
+    per_doc_dups: dict[int, list[tuple[int, int]]] = {}
+    for d, p, text in insts:
+        if cnt[text] > 1 and first[text] != (d, p):
+            per_doc_dups.setdefault(d, []).append((p, p + span_words - 1))
+    for i in sorted(toks):
+        t = toks[i]
+        n_spans = max(0, (len(t) - span_words) // stride + 1) if len(t) >= span_words else 0
+        ivs = per_doc_dups.get(i, [])
+        covered, max_end = 0, 0
+        for s, e in sorted(ivs):
+            covered += max(0, e - max(max_end, s - 1))
+            max_end = max(max_end, e)
+        assert got[i]["n_spans"] == n_spans
+        assert got[i]["n_dup_spans"] == len(ivs)
+        assert got[i]["dup_tokens"] == covered
+        assert got[i]["n_tokens"] == len(t)
