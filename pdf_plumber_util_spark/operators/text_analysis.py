@@ -479,8 +479,12 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
     )
     tgt_vocab = tgt_words.groupBy("word").agg(
         F.count("*").cast("long").alias("ct"))
+    # empty target: sum() is NULL — coalesce to the degenerate-but-defined
+    # empty LM (every token scores the uniform smoothing mass) instead of
+    # silently nulling every weight
     tgt_tot = tgt_vocab.agg(
-        F.sum("ct").alias("_nt"), F.count("*").cast("long").alias("_vt"))
+        F.coalesce(F.sum("ct"), F.lit(0).cast("long")).alias("_nt"),
+        F.count("*").cast("long").alias("_vt"))
 
     joined = (
         dw.join(raw_vocab, "word")
