@@ -2240,3 +2240,56 @@ SELECT pd.doc_id, pd.n_tokens,
         4) AS log_weight
 FROM pd, raw_tot r, tgt_tot t
 """
+
+
+# -------- corpus report card (round 3)
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language + total (ROLLUP) curation health summary."""
+    from .operators.webtext import corpus_report
+
+    return corpus_report(load_table(spark, sf_dir, "documents"))
+
+
+EXTRA_QUERIES["a19_corpus_report"] = q_corpus_report
+
+EXTRA_ORACLES["a19_corpus_report"] = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(text), '\s+') AS t,
+    len(list_distinct(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b'))) AS stop_hits
+  FROM documents
+), q AS (
+  SELECT doc_id,
+    (len(t) BETWEEN 50 AND 100000
+     AND CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) / len(t) >= 3.0
+     AND CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) / len(t) <= 10.0
+     AND CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t) > 0.80
+     AND stop_hits >= 2) AS q_keep
+  FROM g
+), fp AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+), dup AS (
+  SELECT f.doc_id,
+    f.doc_id <> MIN(f2.doc_id) AS is_duplicate
+  FROM fp f JOIN fp f2 USING (fingerprint)
+  GROUP BY f.doc_id
+), joined AS (
+  SELECT t.lang, t.n_tokens, q.q_keep, d.is_duplicate
+  FROM toks t JOIN q USING (doc_id) JOIN dup d USING (doc_id)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+  CAST(SUM(CASE WHEN is_duplicate THEN 0 ELSE 1 END) AS BIGINT) AS n_unique,
+  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
+FROM joined
+GROUP BY ROLLUP (lang)
+"""

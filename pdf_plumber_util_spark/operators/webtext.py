@@ -648,3 +648,41 @@ def domain_gate(df: DataFrame, domains: list[str], url_col: str = "url",
     blocked = (out["matched_rule"].isNotNull() if mode == "block"
                else out["matched_rule"].isNull())
     return out.withColumn("is_blocked", blocked)
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """Corpus report card: the one-query health summary a curation run
+    prints per language plus the all-corpus total (ROLLUP row,
+    lang=NULL) — doc and token mass, Gopher-quality pass count, exact-
+    dup unique count, mean tokens per doc. Composes token_counts,
+    gopher_quality and exact_duplicates through doc_id-keyed joins; the
+    rollup itself is strata-sized.
+
+    Shape at scale: three doc-keyed aggregates/joins (each operator's
+    own documented shape) into one partial-aggregated rollup — the
+    report never materializes text beyond what the inputs already do.
+    """
+    from .text_analysis import token_counts as _token_counts
+    from .dedup import exact_duplicates
+
+    toks = _token_counts(docs).select("doc_id", "n_tokens")
+    qual = gopher_quality(docs).select(
+        "doc_id", F.col("keep").alias("_q"))
+    dup = exact_duplicates(docs).select("doc_id", "is_duplicate")
+    joined = (
+        docs.select("doc_id", "lang")
+        .join(toks, "doc_id")
+        .join(qual, "doc_id")
+        .join(dup, "doc_id")
+    )
+    return (
+        joined.rollup("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.col("_q").cast("long")).alias("n_quality_pass"),
+            F.sum((~F.col("is_duplicate")).cast("long")).alias("n_unique"),
+            (F.sum("n_tokens").cast("double") / F.count("*")).alias(
+                "mean_tokens"),
+        )
+    )
