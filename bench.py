@@ -40,6 +40,17 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
+    # host-health evidence: this sandbox throttles its CPU budget in
+    # multi-minute windows (BASELINE.md), so every recorded bench carries
+    # the capacity probe (healthy ~300 M+, throttled ~160-250 M) — a low
+    # probe explains a slow run without touching the timings themselves
+    try:
+        from tools.scaling_bench import cpu_capacity
+
+        capacity_m = round(cpu_capacity(), 1)
+    except Exception:
+        capacity_m = None
+
     spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
     qmap = entry.queries()
 
@@ -91,6 +102,7 @@ def main() -> None:
         "html_extract_docs_per_sec": (
             round(n_extracted / extract_sec, 2) if extract_sec else None
         ),
+        "host_capacity_M": capacity_m,
     }
     from pdf_plumber_util_spark.contract import clear_shared_lines
 
