@@ -229,134 +229,39 @@ def cmd_dedup(args) -> int:
 
 
 def cmd_curate(args) -> int:
-    """End-to-end corpus curation over a documents table — the
-    training-data composition of the standalone gates: Gopher quality +
-    repetition gates, exact dedup (first occurrence survives), optional
-    benchmark decontamination against --eval-input, PII scrubbing of the
-    survivors, and an optional deterministic mix subsample
-    (--mix-rates '{"en": 0.5, ...}'). Writes the curated corpus
-    (doc_id, scrubbed text, per-gate flags) and prints funnel metrics.
-
-    Every stage is doc_id-keyed, so the flag joins co-partition; the only
-    text-sized exchanges are the ones the underlying operators already
-    document (dedup fingerprint groupBy; eval side broadcast).
-    """
+    """End-to-end corpus curation over a documents table — thin wrapper
+    over plans/curate.curate_corpus (see its docstring for the gate
+    composition and plan shape). Writes the curated corpus (doc_id,
+    scrubbed text, per-gate flags) and prints funnel metrics."""
     from pyspark.sql import functions as F
 
-    from .operators.dedup import decontaminate, exact_duplicates
-    from .operators.text_analysis import repetition_stats
-    from .operators.webtext import gopher_quality, mix_sample, pii_scrub
+    from .plans.curate import curate_corpus
     from .plans.io import write_stage
 
     spark = _spark(args.cores)
-    docs = spark.read.parquet(args.input)
-    if args.id_col != "doc_id":
-        docs = docs.withColumnRenamed(args.id_col, "doc_id")
-    if args.text_col != "text":
-        docs = docs.withColumnRenamed(args.text_col, "text")
 
-    domain_keep = None
-    if args.block_domains:
-        from .operators.webtext import domain_gate
-
-        if "url" not in docs.columns:
-            raise EngineError(
-                "--block-domains needs a 'url' column on the input",
-                suggestion="add a url column or drop --block-domains",
-            )
-        rules = [d.strip() for d in args.block_domains.split(",") if d.strip()]
-        domain_keep = domain_gate(docs, rules).select(
-            "doc_id", (~F.col("is_blocked")).alias("domain_keep")
-        )
-    quality = gopher_quality(docs, min_words=args.min_words).select(
-        "doc_id", F.col("keep").alias("quality_keep")
-    )
-    repetition = repetition_stats(docs).select(
-        "doc_id", F.col("keep").alias("repetition_keep")
-    )
-    dup = exact_duplicates(docs).select("doc_id", "is_duplicate")
-    span_keep = None
-    if args.max_dup_span_frac is not None:
-        from .operators.dedup import duplicate_span_stats
-
-        span_keep = duplicate_span_stats(
-            docs, span_words=args.span_words, stride=args.span_stride
-        ).select(
-            "doc_id",
-            (F.col("dup_token_frac") <= args.max_dup_span_frac)
-            .alias("span_keep"),
-        )
-    flags = (
-        docs.select("doc_id")
-        .join(quality, "doc_id", "left")
-        .join(repetition, "doc_id", "left")
-        .join(dup, "doc_id", "left")
-        .withColumn("quality_keep", F.coalesce("quality_keep", F.lit(False)))
-        .withColumn(
-            # docs too short for any 5-gram have nothing to repeat
-            "repetition_keep", F.coalesce("repetition_keep", F.lit(True))
-        )
-    )
-    if domain_keep is not None:
-        flags = flags.join(domain_keep, "doc_id", "left").withColumn(
-            "domain_keep", F.coalesce("domain_keep", F.lit(True))
-        )
-    else:
-        flags = flags.withColumn("domain_keep", F.lit(True))
-    if span_keep is not None:
-        flags = flags.join(span_keep, "doc_id", "left").withColumn(
-            "span_keep", F.coalesce("span_keep", F.lit(True))
-        )
-    else:
-        flags = flags.withColumn("span_keep", F.lit(True))
-    if args.eval_input:
-        ev = spark.read.parquet(args.eval_input)
+    def _load(path):
+        df = spark.read.parquet(path)
         if args.id_col != "doc_id":
-            ev = ev.withColumnRenamed(args.id_col, "doc_id")
+            df = df.withColumnRenamed(args.id_col, "doc_id")
         if args.text_col != "text":
-            ev = ev.withColumnRenamed(args.text_col, "text")
-        cont = decontaminate(docs, ev, n=args.decontaminate_ngram).select(
-            "doc_id", "is_contaminated"
-        )
-        flags = flags.join(cont, "doc_id", "left").withColumn(
-            "is_contaminated", F.coalesce("is_contaminated", F.lit(False))
-        )
-    else:
-        flags = flags.withColumn("is_contaminated", F.lit(False))
-    keep = (
-        F.col("domain_keep")
-        & F.col("span_keep")
-        & F.col("quality_keep")
-        & F.col("repetition_keep")
-        & ~F.col("is_duplicate")
-        & ~F.col("is_contaminated")
-    )
-    flags = flags.withColumn("keep", keep)
-    if args.mix_rates:
-        lang_col = "lang" if "lang" in docs.columns else None
-        if lang_col is None:
-            raise EngineError(
-                "--mix-rates needs a 'lang' column on the input",
-                suggestion="add a lang column (e.g. via lang_id) or drop "
-                "--mix-rates",
-            )
-        mix = mix_sample(
-            docs, json.loads(args.mix_rates), salt=args.mix_salt
-        ).select("doc_id", F.col("keep").alias("mix_keep"))
-        flags = flags.join(mix, "doc_id", "left").withColumn(
-            "keep", F.col("keep") & F.coalesce("mix_keep", F.lit(True))
-        )
-    scrubbed = pii_scrub(docs)
-    out = (
-        flags.join(scrubbed, "doc_id")
-        .select(
-            "doc_id", "keep", "domain_keep", "span_keep", "quality_keep",
-            "repetition_keep", "is_duplicate", "is_contaminated",
-            F.col("scrubbed_text").alias("text"),
-            (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias(
-                "n_pii_redactions"
-            ),
-        )
+            df = df.withColumnRenamed(args.text_col, "text")
+        return df
+
+    docs = _load(args.input)
+    rules = ([d.strip() for d in args.block_domains.split(",") if d.strip()]
+             if args.block_domains else None)
+    out = curate_corpus(
+        docs,
+        min_words=args.min_words,
+        eval_docs=_load(args.eval_input) if args.eval_input else None,
+        decontaminate_ngram=args.decontaminate_ngram,
+        block_domains=rules,
+        max_dup_span_frac=args.max_dup_span_frac,
+        span_words=args.span_words,
+        span_stride=args.span_stride,
+        mix_rates=json.loads(args.mix_rates) if args.mix_rates else None,
+        mix_salt=args.mix_salt,
     )
     path = write_stage(out, args.output, args.basename, "curated")
     written = spark.read.parquet(path)

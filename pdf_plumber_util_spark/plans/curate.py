@@ -1,0 +1,135 @@
+"""Composed corpus-curation funnel as a library plan.
+
+The CLI `curate` subcommand is a thin wrapper over `curate_corpus`; the
+function exists so pipelines can embed the funnel (and so its plan shape
+can be pinned by tests, like every other composed plan in `plans/`).
+
+Gate composition (all doc_id-keyed joins, so the flag joins
+co-partition; the only text-sized exchanges are the ones the underlying
+operators document — the dedup fingerprint groupBy, the span-hash
+groupBy when the span gate is on, and the broadcast eval n-grams):
+
+  domain_keep       optional UT1 blocklist (webtext.domain_gate)
+  span_keep         optional ExactSubstr duplicate-span coverage gate
+  quality_keep      Gopher quality rules (webtext.gopher_quality)
+  repetition_keep   Gopher repetition gates (text_analysis)
+  is_duplicate      exact dedup, first occurrence survives
+  is_contaminated   optional benchmark decontamination (broadcast evals)
+  mix_keep          optional deterministic mix subsample (folded into keep)
+
+Output: one row per input doc — (doc_id, keep, per-gate flags,
+PII-scrubbed text, n_pii_redactions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..exceptions import EngineError
+
+
+def curate_corpus(docs: DataFrame, *, min_words: int = 50,
+                  eval_docs: DataFrame | None = None,
+                  decontaminate_ngram: int = 13,
+                  block_domains: list[str] | None = None,
+                  max_dup_span_frac: float | None = None,
+                  span_words: int = 20, span_stride: int = 5,
+                  mix_rates: dict[str, float] | None = None,
+                  mix_salt: str = "mix1") -> DataFrame:
+    from ..operators.dedup import decontaminate, exact_duplicates
+    from ..operators.text_analysis import repetition_stats
+    from ..operators.webtext import gopher_quality, mix_sample, pii_scrub
+
+    domain_keep = None
+    if block_domains:
+        from ..operators.webtext import domain_gate
+
+        if "url" not in docs.columns:
+            raise EngineError(
+                "block_domains needs a 'url' column on the input",
+                suggestion="add a url column or drop block_domains",
+            )
+        domain_keep = domain_gate(docs, block_domains).select(
+            "doc_id", (~F.col("is_blocked")).alias("domain_keep")
+        )
+    quality = gopher_quality(docs, min_words=min_words).select(
+        "doc_id", F.col("keep").alias("quality_keep")
+    )
+    repetition = repetition_stats(docs).select(
+        "doc_id", F.col("keep").alias("repetition_keep")
+    )
+    dup = exact_duplicates(docs).select("doc_id", "is_duplicate")
+    span_keep = None
+    if max_dup_span_frac is not None:
+        from ..operators.dedup import duplicate_span_stats
+
+        span_keep = duplicate_span_stats(
+            docs, span_words=span_words, stride=span_stride
+        ).select(
+            "doc_id",
+            (F.col("dup_token_frac") <= max_dup_span_frac).alias("span_keep"),
+        )
+    flags = (
+        docs.select("doc_id")
+        .join(quality, "doc_id", "left")
+        .join(repetition, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .withColumn("quality_keep", F.coalesce("quality_keep", F.lit(False)))
+        .withColumn(
+            # docs too short for any 5-gram have nothing to repeat
+            "repetition_keep", F.coalesce("repetition_keep", F.lit(True))
+        )
+    )
+    if domain_keep is not None:
+        flags = flags.join(domain_keep, "doc_id", "left").withColumn(
+            "domain_keep", F.coalesce("domain_keep", F.lit(True))
+        )
+    else:
+        flags = flags.withColumn("domain_keep", F.lit(True))
+    if span_keep is not None:
+        flags = flags.join(span_keep, "doc_id", "left").withColumn(
+            "span_keep", F.coalesce("span_keep", F.lit(True))
+        )
+    else:
+        flags = flags.withColumn("span_keep", F.lit(True))
+    if eval_docs is not None:
+        cont = decontaminate(docs, eval_docs, n=decontaminate_ngram).select(
+            "doc_id", "is_contaminated"
+        )
+        flags = flags.join(cont, "doc_id", "left").withColumn(
+            "is_contaminated", F.coalesce("is_contaminated", F.lit(False))
+        )
+    else:
+        flags = flags.withColumn("is_contaminated", F.lit(False))
+    keep = (
+        F.col("domain_keep")
+        & F.col("span_keep")
+        & F.col("quality_keep")
+        & F.col("repetition_keep")
+        & ~F.col("is_duplicate")
+        & ~F.col("is_contaminated")
+    )
+    flags = flags.withColumn("keep", keep)
+    if mix_rates:
+        if "lang" not in docs.columns:
+            raise EngineError(
+                "mix_rates needs a 'lang' column on the input",
+                suggestion="add a lang column (e.g. via lang_id) or drop "
+                "mix_rates",
+            )
+        mix = mix_sample(docs, mix_rates, salt=mix_salt).select(
+            "doc_id", F.col("keep").alias("mix_keep")
+        )
+        flags = flags.join(mix, "doc_id", "left").withColumn(
+            "keep", F.col("keep") & F.coalesce("mix_keep", F.lit(True))
+        )
+    scrubbed = pii_scrub(docs)
+    return flags.join(scrubbed, "doc_id").select(
+        "doc_id", "keep", "domain_keep", "span_keep", "quality_keep",
+        "repetition_keep", "is_duplicate", "is_contaminated",
+        F.col("scrubbed_text").alias("text"),
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias(
+            "n_pii_redactions"
+        ),
+    )

@@ -421,3 +421,27 @@ def test_lm_perplexity_totals_broadcast(spark):
     plan = _plan(lm_perplexity(docs))
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_curate_funnel_plan_is_all_hash_partitioned(spark):
+    """The composed curation funnel (every gate enabled) must shuffle
+    ONLY by hash keys — no single-partition exchange (a global reduce
+    that would serialize the corpus through one task), no range
+    partitioning (sampled, run-varying boundaries), no cartesian."""
+    from pdf_plumber_util_spark.plans.curate import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} " * 12, "en", f"https://h{i}.ex.com/p")
+         for i in range(6)],
+        "doc_id long, text string, lang string, url string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "eval bench text " * 5)], "doc_id long, text string")
+    out = curate_corpus(
+        docs, min_words=5, eval_docs=ev, block_domains=["ads.net"],
+        max_dup_span_frac=0.5, mix_rates={"en": 0.5},
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+    assert "rangepartitioning" not in plan, plan[:2000]
