@@ -23,6 +23,8 @@ from .boundaries import (  # noqa: F401
 )
 from .webtext import (  # noqa: F401
     block_boilerplate,
+    corpus_report,
+    domain_gate,
     c4_line_filter,
     canonical_url,
     cap_per_host,
@@ -30,17 +32,25 @@ from .webtext import (  # noqa: F401
     host_of,
     host_stats,
     line_link_stats,
+    mix_plan,
+    mix_sample,
+    pack_sequences,
     pii_scrub,
     repeated_spans,
     url_dedup,
 )
 from .dedup import (  # noqa: F401
     decontaminate,
+    duplicate_span_stats,
     exact_duplicates,
     near_dup_pipeline,
     paragraph_dedup,
 )
 from .text_analysis import (  # noqa: F401
+    dsir_weights,
+    lm_perplexity,
+    perplexity_bucket,
+    perplexity_cutoffs,
     repetition_stats,
     shared_span_stats,
     winnow_fingerprints,
