@@ -2293,3 +2293,64 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM joined
 GROUP BY ROLLUP (lang)
 """
+
+
+# -------- Gopher line-based rules (round 3)
+
+
+def q_gopher_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line rules over a deterministically markup-ified corpus: doc_id%4
+    classes inject all-bullet lines, all-ellipsis line endings, or a
+    '#'-flood so every rule fires non-vacuously (plain docs keep)."""
+    from .operators.webtext import gopher_line_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    mutated = docs.select(
+        "doc_id",
+        F.when(m == 0, F.concat(
+            F.lit("• "), F.regexp_replace("text", " ", "\n• ")))
+        .when(m == 1, F.concat(
+            F.regexp_replace("text", " ", "...\n"), F.lit("...")))
+        .when(m == 2, F.concat(F.col("text"), F.repeat(F.lit(" #"), 20)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return gopher_line_rules(mutated)
+
+
+EXTRA_QUERIES["t14_gopher_line_rules"] = q_gopher_line_rules
+
+EXTRA_ORACLES["t14_gopher_line_rules"] = r"""
+WITH mutated AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN '• ' || replace(text, ' ', chr(10) || '• ')
+      WHEN 1 THEN replace(text, ' ', '...' || chr(10)) || '...'
+      WHEN 2 THEN text || repeat(' #', 20)
+      ELSE text END AS text
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    string_split(text, chr(10)) AS lines,
+    regexp_split_to_array(trim(text), '\s+') AS toks,
+    len(regexp_extract_all(text, '#')) +
+      len(regexp_extract_all(text, '(\.\.\.|…)')) AS n_symbols
+  FROM mutated
+), f AS (
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines,
+        l -> regexp_matches(ltrim(l), '^[•\-\*]'))) AS DOUBLE)
+      / len(lines) AS bullet_line_frac,
+    CAST(len(list_filter(lines,
+        l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+      / len(lines) AS ellipsis_line_frac,
+    CAST(n_symbols AS DOUBLE) / len(toks) AS symbol_word_ratio
+  FROM m
+)
+SELECT doc_id, n_lines, bullet_line_frac, ellipsis_line_frac,
+  symbol_word_ratio,
+  (bullet_line_frac <= 0.90 AND ellipsis_line_frac <= 0.30
+   AND symbol_word_ratio <= 0.10) AS keep
+FROM f
+"""

@@ -686,3 +686,48 @@ def corpus_report(docs: DataFrame) -> DataFrame:
                 "mean_tokens"),
         )
     )
+
+
+def gopher_line_rules(docs: DataFrame, text_col: str = "text",
+                      max_bullet_frac: float = 0.90,
+                      max_ellipsis_frac: float = 0.30,
+                      max_symbol_ratio: float = 0.10) -> DataFrame:
+    """The Gopher rules gopher_quality leaves out because they need line
+    structure (Rae et al. 2021 A1.1, MassiveText): drop a doc when more
+    than 90% of its lines start with a bullet, more than 30% end with an
+    ellipsis, or its symbol-to-word ratio ('#' plus ellipses) exceeds
+    0.1. Lines are '\\n'-split; leading/trailing spaces ignored per line.
+    Map-only pure Column expressions; `keep` is the conjunction.
+    Single-line documents pass the line rules trivially (one non-bullet,
+    non-ellipsis line) — the rules exist for markup-shaped text.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[•\-\*]"))
+    )
+    ellipsis = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(toks)
+    n_symbols = (
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("#"), 0))
+        + F.size(F.regexp_extract_all(F.col(text_col),
+                                      F.lit(r"(\.\.\.|…)"), 0))
+    )
+    bullet_frac = bullet.cast("double") / n_lines
+    ellipsis_frac = ellipsis.cast("double") / n_lines
+    symbol_ratio = n_symbols.cast("double") / n_words
+    return docs.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        (
+            (bullet_frac <= max_bullet_frac)
+            & (ellipsis_frac <= max_ellipsis_frac)
+            & (symbol_ratio <= max_symbol_ratio)
+        ).alias("keep"),
+    )

@@ -367,3 +367,27 @@ def test_domain_gate_label_boundaries(spark):
     # empty rule list: block mode passes everything, allow mode nothing
     none = domain_gate(df, [], mode="block")
     assert none.filter("is_blocked").count() == 0
+
+
+def test_gopher_line_rules_each_rule_fires(spark):
+    """Each line rule fires on its own planted pattern and only that
+    pattern; a plain multi-line doc passes all three."""
+    from pdf_plumber_util_spark.operators.webtext import gopher_line_rules
+
+    docs = spark.createDataFrame(
+        [
+            (1, "• one\n• two\n• three"),            # 100% bullet lines
+            (2, "end one...\nend two...\nplain"),    # 2/3 ellipsis > 0.3
+            (3, "few words " + "# " * 5),            # 5 '#' / 12 words
+            (4, "a plain line\nanother line\n- one bullet is fine"),
+            (5, "dash-word lines\n-but this one starts with a dash"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_line_rules(docs).collect()}
+    assert not out[1].keep and out[1].bullet_line_frac == 1.0
+    assert not out[2].keep and out[2].ellipsis_line_frac == 2 / 3
+    assert not out[3].keep and out[3].symbol_word_ratio > 0.1
+    assert out[4].keep and out[4].bullet_line_frac == 1 / 3
+    # a line starting with '-' counts as a bullet; 1/2 <= 0.9 still keeps
+    assert out[5].keep and out[5].bullet_line_frac == 0.5
