@@ -6,3 +6,4 @@ from .resume import (  # noqa: F401
     resume_filter,
     run_resumable,
 )
+from .curate import curate_corpus  # noqa: F401
