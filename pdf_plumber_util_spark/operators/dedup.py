@@ -551,7 +551,8 @@ def duplicate_span_stats(docs: DataFrame, span_words: int = 20,
     """
     if stride < 1 or span_words < 1:
         raise ValueError("span_words and stride must be >= 1")
-    toks = F.split(_norm(F.col("text")), " ")
+    # null text scores like empty text (one empty token), not a -1 size
+    toks = F.split(_norm(F.coalesce(F.col("text"), F.lit(""))), " ")
     n = F.size(toks)
     starts = F.when(
         n >= span_words,

@@ -699,9 +699,11 @@ def gopher_line_rules(docs: DataFrame, text_col: str = "text",
     0.1. Lines are '\\n'-split; leading/trailing spaces ignored per line.
     Map-only pure Column expressions; `keep` is the conjunction.
     Single-line documents pass the line rules trivially (one non-bullet,
-    non-ellipsis line) — the rules exist for markup-shaped text.
+    non-ellipsis line) — the rules exist for markup-shaped text. Null
+    text behaves like empty text (one empty line / one empty token).
     """
-    lines = F.split(F.col(text_col), "\n")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(txt, "\n")
     n_lines = F.size(lines)
     bullet = F.size(
         F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[•\-\*]"))
@@ -709,12 +711,11 @@ def gopher_line_rules(docs: DataFrame, text_col: str = "text",
     ellipsis = F.size(
         F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
     )
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(txt), r"\s+")
     n_words = F.size(toks)
     n_symbols = (
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit("#"), 0))
-        + F.size(F.regexp_extract_all(F.col(text_col),
-                                      F.lit(r"(\.\.\.|…)"), 0))
+        F.size(F.regexp_extract_all(txt, F.lit("#"), 0))
+        + F.size(F.regexp_extract_all(txt, F.lit(r"(\.\.\.|…)"), 0))
     )
     bullet_frac = bullet.cast("double") / n_lines
     ellipsis_frac = ellipsis.cast("double") / n_lines
