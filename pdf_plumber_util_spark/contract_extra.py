@@ -2354,3 +2354,49 @@ SELECT doc_id, n_lines, bullet_line_frac, ellipsis_line_frac,
    AND symbol_word_ratio <= 0.10) AS keep
 FROM f
 """
+
+
+# -------- BM25 lexical top-k (round 3)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for three common corpus terms (lexical twin of s1)."""
+    from .operators.similarity import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"),
+                     ["hash", "row", "table"], k=20)
+
+
+EXTRA_QUERIES["s4_bm25_topk"] = q_bm25_topk
+
+_BM25_TERM = (
+    "ln((n - df{i} + 0.5)/(df{i} + 0.5) + 1.0) * tf{i} * 2.2"
+    " / (tf{i} + 1.2*(0.25 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n)))"
+)
+
+EXTRA_ORACLES["s4_bm25_topk"] = rf"""
+WITH base AS (
+  SELECT doc_id,
+    regexp_split_to_array(
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), per AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+    CAST(len(list_filter(t, x -> x = 'hash')) AS BIGINT) AS tf0,
+    CAST(len(list_filter(t, x -> x = 'row')) AS BIGINT) AS tf1,
+    CAST(len(list_filter(t, x -> x = 'table')) AS BIGINT) AS tf2
+  FROM base
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM per
+)
+SELECT doc_id, dl AS doc_len,
+  round({_BM25_TERM.format(i=0)} + {_BM25_TERM.format(i=1)}
+        + {_BM25_TERM.format(i=2)}, 4) AS score
+FROM per, s
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""

@@ -258,3 +258,75 @@ def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.9,
         (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine"),
     )
     return sim.filter(F.col("cosine") >= threshold)
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              round_dp: int = 4) -> DataFrame:
+    """BM25 lexical top-k (Robertson/Sparck Jones; the classic keyword
+    retrieval twin of the cosine/ANN family): score every doc against a
+    fixed term list with corpus-trained statistics and return the k
+    best.
+
+      idf(t)   = ln((N - df_t + 0.5)/(df_t + 0.5) + 1)   [BM25+, >= 0]
+      score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Determinism: terms contribute in SORTED order as one explicit
+    expression chain (the DuckDB oracle sums the same chain), scores are
+    rounded, and the top-k orders by (score DESC, doc_id) on the rounded
+    value — so the returned SET is engine-stable even with ties at the
+    cutoff.
+
+    Shape at scale: per-term tf is a map-side array filter over the
+    token split (no explode, no per-term join); N/avgdl/df_t is ONE
+    tiny aggregate row broadcast back; the top-k is TakeOrdered (per-
+    partition heaps, never a global sort). For ad-hoc user queries an
+    inverted index would win, but for the pipeline use (fixed audit
+    probes over a corpus pass) one scan is the right plan.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    ts = sorted(set(t.lower() for t in terms))
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                                r"\s+", " ")),
+        " ",
+    )
+    dl = F.size(toks).cast("long")
+    # NB: the term must be captured via a closure factory, not a default
+    # arg — pyspark reads a 2-parameter lambda as the (element, index)
+    # form and would bind the term name to the BIGINT index
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    tf_cols = {t: F.size(F.filter(toks, _eq(t))).cast("long") for t in ts}
+    base = docs.select(
+        "doc_id", dl.alias("_dl"),
+        *[tf_cols[t].alias(f"_tf_{i}") for i, t in enumerate(ts)],
+    )
+    stats = base.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_dl").alias("_sum_dl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(ts))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sum_dl").cast("double") / F.col("_n")
+    score = F.lit(0.0)
+    for i in range(len(ts)):
+        idf = F.log(
+            (F.col("_n") - F.col(f"_df_{i}") + 0.5)
+            / (F.col(f"_df_{i}") + 0.5)
+            + 1.0
+        )
+        tf = F.col(f"_tf_{i}").cast("double")
+        score = score + idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * F.col("_dl") / avgdl)
+        )
+    out = scored.select(
+        "doc_id", F.col("_dl").alias("doc_len"),
+        F.round(score, round_dp).alias("score"),
+    )
+    return out.orderBy(F.desc("score"), "doc_id").limit(k)

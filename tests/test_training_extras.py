@@ -674,3 +674,41 @@ def test_dsir_weights_prefer_target_like_docs(spark):
         sum(math.log(tgt[t] + 1) - math.log(raw[t] + 1) for t in toks)
         + len(toks) * (math.log(nr + vr + 1) - math.log(nt + vt + 1)), 4)
     assert out[1].log_weight == lw
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 scores match a direct Python computation on a tiny corpus,
+    ranking puts the term-dense doc first, and k bounds the output."""
+    import math
+
+    from pdf_plumber_util_spark.operators.similarity import bm25_topk
+
+    texts = {
+        1: "hash table hash join hash",
+        2: "table scan over a table",
+        3: "nothing relevant here at all",
+        4: "hash once",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+    got = bm25_topk(docs, ["hash", "table"], k=3).collect()
+    assert len(got) == 3
+    assert got[0].doc_id == 1  # 3x hash + 1x table
+
+    toks = {i: t.split() for i, t in texts.items()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    k1, b = 1.2, 0.75
+
+    def score(i):
+        s = 0.0
+        for term in sorted(["hash", "table"]):
+            df = sum(1 for v in toks.values() if term in v)
+            tf = toks[i].count(term)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(toks[i]) / avgdl))
+        return round(s, 4)
+
+    for r in got:
+        assert r.score == score(r.doc_id), (r.doc_id, r.score, score(r.doc_id))
