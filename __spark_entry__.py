@@ -25,15 +25,57 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_body_text(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate checks only the FIRST 50 queries, so the
+# order is curated (round-4 VERDICT item #2) instead of accidental: the
+# full flagship chain, one representative per SURVEY §2 family, and the
+# highest-value training-data operators. Everything past slot 50 is
+# checked by tools/compare_oracle.py (same comparison) and recorded in
+# COVERAGE.md; the rotation rationale is documented there.
+_DRIVER_SLOTS = [
+    # flagship words->lines->blocks->boundaries->body chain
+    "c1_word_lines", "c3_segments", "o2_line_text", "w1_line_gaps",
+    "a1_predominant", "a7_spacing_rules", "o1_classify", "c6_blocks",
+    "a10_base_spacing", "h1_hf_candidates", "h3_contextual_candidates",
+    "h5_boundaries", "flagship_body_text",
+    # one representative per §2 analysis/sampling/pattern family
+    "a3_doc_stats", "a4_line_spacing", "a8_paragraph_stats",
+    "a12_font_keys", "a13_margins", "a14_spacing_hist",
+    "a16_scan_statistics", "w4_vertical_regions", "v2_spacing_occurrences",
+    "r2_pattern_scan", "o7_toc_heuristic", "j2_method_compare",
+    "j3_page_range", "m2_sample_stratified",
+    # training-data pipeline: text analysis, dedup, similarity, streaming
+    "a18_token_counts", "t1_quality", "t2_lang_id",
+    "d1_exact_dedup", "d2_minhash_bands", "d3_ngram_jaccard", "d4_simhash",
+    "s1_cosine_topk", "s2b_ann_exhaustive",
+    "e1_events_hourly", "e2_events_sessions",
+    # round-3 curation operators, driver-unverified until this rotation
+    "d8_near_dup_pipeline", "d10_paragraph_dedup", "d11_duplicate_spans",
+    "t10_decontaminate", "t11_sequence_packing", "t12_lm_perplexity",
+    "m6_mix_sample", "u3_host_cap", "u4_domain_gate",
+    "b1_block_boilerplate", "h6_repeated_spans", "s4_bm25_topk",
+]
+
+
+def _ordered(merged: dict) -> dict:
+    missing = [k for k in _DRIVER_SLOTS if k not in merged]
+    assert not missing, f"_DRIVER_SLOTS names unknown queries: {missing}"
+    out = {k: merged[k] for k in _DRIVER_SLOTS}
+    out.update({k: v for k, v in merged.items() if k not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_plumber_util_spark.contract import QUERIES
     from pdf_plumber_util_spark.contract_extra import EXTRA_QUERIES
 
-    return {**QUERIES, **EXTRA_QUERIES}
+    return _ordered({**QUERIES, **EXTRA_QUERIES})
 
 
 def oracle_sql() -> dict[str, str]:
     from pdf_plumber_util_spark.contract import ORACLES
     from pdf_plumber_util_spark.contract_extra import EXTRA_ORACLES
 
-    return {**ORACLES, **EXTRA_ORACLES}
+    merged = {**ORACLES, **EXTRA_ORACLES}
+    out = {k: merged[k] for k in _DRIVER_SLOTS if k in merged}
+    out.update({k: v for k, v in merged.items() if k not in out})
+    return out

@@ -262,6 +262,7 @@ def cmd_curate(args) -> int:
         span_stride=args.span_stride,
         mix_rates=json.loads(args.mix_rates) if args.mix_rates else None,
         mix_salt=args.mix_salt,
+        drop_perplexity_tail=args.perplexity_bucket,
     )
     path = write_stage(out, args.output, args.basename, "curated")
     written = spark.read.parquet(path)
@@ -271,6 +272,7 @@ def cmd_curate(args) -> int:
         F.sum(F.col("span_keep").cast("long")).alias("span_pass"),
         F.sum(F.col("quality_keep").cast("long")).alias("quality_pass"),
         F.sum(F.col("repetition_keep").cast("long")).alias("repetition_pass"),
+        F.sum(F.col("perplexity_keep").cast("long")).alias("perplexity_pass"),
         F.sum((~F.col("is_duplicate")).cast("long")).alias("unique"),
         F.sum((~F.col("is_contaminated")).cast("long")).alias("clean"),
         F.sum(F.col("keep").cast("long")).alias("kept"),
@@ -358,6 +360,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mix-rates", default=None,
                    help='JSON lang->rate map, e.g. \'{"en": 0.5}\'')
     p.add_argument("--mix-salt", default="mix1")
+    p.add_argument("--perplexity-bucket", action="store_true",
+                   help="CCNet head/middle/tail gate: estimate tertile "
+                        "cutoffs from the corpus (approx_percentile, per "
+                        "lang when present) and drop the tail bucket")
     p.add_argument("--cores", type=int, default=None)
     p.set_defaults(fn=cmd_curate)
 

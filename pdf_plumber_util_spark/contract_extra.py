@@ -525,7 +525,8 @@ FROM (
     "d1_exact_dedup": r"""
 WITH fp AS (
   SELECT doc_id,
-    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')))
+      AS fingerprint
   FROM documents
 ), grp AS (
   SELECT fingerprint, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
@@ -2061,8 +2062,11 @@ WITH toks AS (
     CAST(COUNT(*) AS BIGINT) AS v
   FROM vocab GROUP BY lang
 ), dc AS (
+  -- IS NOT DISTINCT FROM mirrors the operator's eqNullSafe lang joins
+  -- so the contract pins the null-lang behavior, not just a pytest
   SELECT dw.doc_id, dw.lang, v.c, CAST(SUM(dw.m) AS BIGINT) AS mc
-  FROM dw JOIN vocab v ON dw.lang = v.lang AND dw.word = v.word
+  FROM dw JOIN vocab v ON dw.lang IS NOT DISTINCT FROM v.lang
+                      AND dw.word = v.word
   GROUP BY dw.doc_id, dw.lang, v.c
 ), pd AS (
   -- deterministic sequential left-fold over count-sorted terms,
@@ -2080,7 +2084,7 @@ WITH toks AS (
       AS cross_entropy,
     round(exp(round(ln(t.n_total + t.v + 1) - pd.sum_ln / pd.n_tokens, 4)),
           4) AS perplexity
-  FROM pd JOIN tot t USING (lang)
+  FROM pd JOIN tot t ON pd.lang IS NOT DISTINCT FROM t.lang
 )
 SELECT doc_id, lang, n_tokens, cross_entropy, perplexity,
   CASE WHEN perplexity <= 29.85 THEN 'head'
@@ -2274,7 +2278,8 @@ WITH toks AS (
   FROM g
 ), fp AS (
   SELECT doc_id,
-    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')))
+      AS fingerprint
   FROM documents
 ), dup AS (
   SELECT f.doc_id,
@@ -2285,7 +2290,8 @@ WITH toks AS (
   SELECT t.lang, t.n_tokens, q.q_keep, d.is_duplicate
   FROM toks t JOIN q USING (doc_id) JOIN dup d USING (doc_id)
 )
-SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+SELECT lang, CAST(GROUPING(lang) AS BIGINT) AS is_total,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
   CAST(SUM(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
   CAST(SUM(CASE WHEN is_duplicate THEN 0 ELSE 1 END) AS BIGINT) AS n_unique,

@@ -70,8 +70,18 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     The aggregate absorbs such a group map-side (partial agg) and AQE
     skew-splits the join back, so the two-phase form is the one that
     survives 100 TB.
+
+    Null text is fingerprinted as empty text (coalesce before the md5):
+    a NULL fingerprint would silently fall out of the null-unsafe
+    join-back, excluding the doc from the output entirely — inconsistent
+    with every other gate's "null text behaves like empty" policy, and a
+    streaming/batch parity break (dropDuplicatesWithinWatermark groups
+    NULL keys).
     """
-    fp = docs.select("doc_id", F.md5(_norm(F.col("text"))).alias("fingerprint"))
+    fp = docs.select(
+        "doc_id",
+        F.md5(_norm(F.coalesce(F.col("text"), F.lit("")))).alias("fingerprint"),
+    )
     grp = fp.groupBy("fingerprint").agg(
         F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
     )

@@ -678,6 +678,12 @@ def corpus_report(docs: DataFrame) -> DataFrame:
     return (
         joined.rollup("lang")
         .agg(
+            # grouping indicator: 1 on the grand-total rollup row, 0 on
+            # per-language strata — without it a genuinely-NULL lang
+            # stratum is indistinguishable from the total (both print
+            # lang=NULL) and NULL-lang docs double-count across two
+            # NULL-labelled rows
+            F.grouping("lang").cast("long").alias("is_total"),
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("total_tokens"),
             F.sum(F.col("_q").cast("long")).alias("n_quality_pass"),

@@ -13,6 +13,10 @@ groupBy when the span gate is on, and the broadcast eval n-grams):
   span_keep         optional ExactSubstr duplicate-span coverage gate
   quality_keep      Gopher quality rules (webtext.gopher_quality)
   repetition_keep   Gopher repetition gates (text_analysis)
+  perplexity_keep   optional CCNet head/middle gate (drop the tail
+                    tertile under corpus-estimated approx_percentile
+                    cutoffs; text_analysis.lm_perplexity +
+                    perplexity_cutoffs + perplexity_bucket)
   is_duplicate      exact dedup, first occurrence survives
   is_contaminated   optional benchmark decontamination (broadcast evals)
   mix_keep          optional deterministic mix subsample (folded into keep)
@@ -36,7 +40,8 @@ def curate_corpus(docs: DataFrame, *, min_words: int = 50,
                   max_dup_span_frac: float | None = None,
                   span_words: int = 20, span_stride: int = 5,
                   mix_rates: dict[str, float] | None = None,
-                  mix_salt: str = "mix1") -> DataFrame:
+                  mix_salt: str = "mix1",
+                  drop_perplexity_tail: bool = False) -> DataFrame:
     from ..operators.dedup import decontaminate, exact_duplicates
     from ..operators.text_analysis import repetition_stats
     from ..operators.webtext import gopher_quality, mix_sample, pii_scrub
@@ -70,11 +75,41 @@ def curate_corpus(docs: DataFrame, *, min_words: int = 50,
             "doc_id",
             (F.col("dup_token_frac") <= max_dup_span_frac).alias("span_keep"),
         )
+    perplexity_keep = None
+    if drop_perplexity_tail:
+        from ..operators.text_analysis import (
+            lm_perplexity,
+            perplexity_cutoffs,
+        )
+
+        by_lang = "lang" in docs.columns
+        scored = lm_perplexity(docs, by_lang=by_lang)
+        cuts = perplexity_cutoffs(scored, by_lang=by_lang)
+        # cutoffs are strata-sized (one row per language) — broadcast;
+        # keep head+middle = perplexity <= tail_cutoff (the CCNet rule)
+        if by_lang:
+            joined = scored.alias("s").join(
+                F.broadcast(cuts.alias("c")),
+                F.col("s.lang").eqNullSafe(F.col("c.lang")),
+            )
+        else:
+            joined = scored.crossJoin(F.broadcast(cuts))
+        perplexity_keep = joined.select(
+            "doc_id",
+            (F.col("perplexity") <= F.col("tail_cutoff")).alias(
+                "perplexity_keep"
+            ),
+        )
     flags = (
         docs.select("doc_id")
         .join(quality, "doc_id", "left")
         .join(repetition, "doc_id", "left")
         .join(dup, "doc_id", "left")
+        # exact_duplicates now fingerprints null text as empty, but the
+        # coalesce stays as belt-and-braces: a doc missing from the dup
+        # output must count as non-duplicate, never as keep=NULL
+        # (silently excluded from both kept and dropped funnel counts)
+        .withColumn("is_duplicate", F.coalesce("is_duplicate", F.lit(False)))
         .withColumn("quality_keep", F.coalesce("quality_keep", F.lit(False)))
         .withColumn(
             # docs too short for any 5-gram have nothing to repeat
@@ -93,6 +128,14 @@ def curate_corpus(docs: DataFrame, *, min_words: int = 50,
         )
     else:
         flags = flags.withColumn("span_keep", F.lit(True))
+    if perplexity_keep is not None:
+        # docs lm_perplexity omits (zero alphanumeric tokens) cannot be
+        # scored — they pass this gate and fail the quality gate instead
+        flags = flags.join(perplexity_keep, "doc_id", "left").withColumn(
+            "perplexity_keep", F.coalesce("perplexity_keep", F.lit(True))
+        )
+    else:
+        flags = flags.withColumn("perplexity_keep", F.lit(True))
     if eval_docs is not None:
         cont = decontaminate(docs, eval_docs, n=decontaminate_ngram).select(
             "doc_id", "is_contaminated"
@@ -107,6 +150,7 @@ def curate_corpus(docs: DataFrame, *, min_words: int = 50,
         & F.col("span_keep")
         & F.col("quality_keep")
         & F.col("repetition_keep")
+        & F.col("perplexity_keep")
         & ~F.col("is_duplicate")
         & ~F.col("is_contaminated")
     )
@@ -127,7 +171,8 @@ def curate_corpus(docs: DataFrame, *, min_words: int = 50,
     scrubbed = pii_scrub(docs)
     return flags.join(scrubbed, "doc_id").select(
         "doc_id", "keep", "domain_keep", "span_keep", "quality_keep",
-        "repetition_keep", "is_duplicate", "is_contaminated",
+        "repetition_keep", "perplexity_keep", "is_duplicate",
+        "is_contaminated",
         F.col("scrubbed_text").alias("text"),
         (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias(
             "n_pii_redactions"

@@ -38,8 +38,14 @@ def dedup_stream(docs: DataFrame, ts_col: str = "ts",
     (same uniform md5 key as the batch groupBy); no joins, no collects.
 
     Output: the surviving rows, with `fingerprint` attached.
+
+    Null text is fingerprinted as empty text, matching batch
+    exact_duplicates — so a document dropped here is exactly one the
+    batch dedup would have flagged, null text included.
     """
-    d = docs.withColumn("fingerprint", F.md5(_norm(F.col(text_col))))
+    d = docs.withColumn(
+        "fingerprint", F.md5(_norm(F.coalesce(F.col(text_col), F.lit(""))))
+    )
     return (
         d.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .withWatermark(ts_col, watermark)

@@ -159,3 +159,32 @@ def test_cli_curate_dup_span_gate(spark, tmp_path, capsys):
     assert rows[1].span_keep          # global first occurrence
     assert not rows[2].span_keep      # copy: coverage > 0.5
     assert rows[3].span_keep
+
+
+def test_cli_curate_perplexity_bucket(spark, tmp_path, capsys):
+    """--perplexity-bucket drops the tail tertile: six docs of corpus-
+    typical text sit at one (low) perplexity, three rare-token docs sit
+    strictly above it, so the 2/3 cutoff lands on the common value and
+    exactly the rare docs fail the gate."""
+    docs_path = str(tmp_path / "docs_ppl")
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows_in = [(i, common, "en") for i in range(1, 7)] + [
+        (7, "zyx wvu tsr qpo nml kji hgf edc baz", "en"),
+        (8, "qqa qqb qqc qqd qqe qqf qqg qqh qqi", "en"),
+        (9, "vrk vrl vrm vrn vro vrp vrq vrr vrs", "en"),
+    ]
+    spark.createDataFrame(
+        rows_in, "doc_id long, text string, lang string"
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "outp")
+    assert cli.main(["curate", "--input", docs_path, "--output", out,
+                     "--basename", "pp", "--min-words", "5",
+                     "--perplexity-bucket", "--cores", "4"]) == 0
+    funnel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert funnel["docs"] == 9 and funnel["perplexity_pass"] == 6
+    rows = {r.doc_id: r for r in
+            spark.read.parquet(funnel["curated"]).collect()}
+    for i in range(1, 7):
+        assert rows[i].perplexity_keep
+    for i in (7, 8, 9):
+        assert not rows[i].perplexity_keep and not rows[i].keep

@@ -440,6 +440,7 @@ def test_curate_funnel_plan_is_all_hash_partitioned(spark):
     out = curate_corpus(
         docs, min_words=5, eval_docs=ev, block_domains=["ads.net"],
         max_dup_span_frac=0.5, mix_rates={"en": 0.5},
+        drop_perplexity_tail=True,
     )
     plan = _plan(out)
     assert "CartesianProduct" not in plan, plan[:2000]
