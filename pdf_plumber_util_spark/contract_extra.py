@@ -100,11 +100,100 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate path: rows-only (bucket membership is the contract);
-    # the machinery itself is value-pinned by s2b below
-    return similarity.bucketed_topk(
-        load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=5
+    """s2: since round 4 the hyperplane signs derive from md5 parity
+    (similarity.plane_sign), which DuckDB can compute — so the
+    approximate path carries a DIRECT value oracle (VERDICT r3 #7)
+    instead of the rows-only check it had when the signs were
+    xxhash64-based."""
+    out = similarity.bucketed_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=5,
+        n_planes=6,
     )
+    return out.select(
+        "query_id", "rank", "vec_id",
+        (py_round(F.col("cosine") * 1e6) / 1e6).alias("cosine_r"),
+    )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s5: recall@5 of the production ANN configuration (16 OR-amplified
+    6-bit hash tables — hyperplane_buckets_tables) against brute-force
+    cosine top-5 (s1), per query — the deterministic quality scalar that
+    keeps future bucket tuning from silently degrading recall (VERDICT
+    r3 #7). A single 6-bit table measures 1/15 on this corpus; 16 tables
+    measure 10/15 while scanning ~18% of it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = similarity.cosine_topk(emb, query_ids=[0, 1, 2], k=5).select(
+        "query_id", "vec_id"
+    )
+    approx = similarity.bucketed_topk(
+        emb, query_ids=[0, 1, 2], k=5, n_planes=6, n_tables=16
+    ).select("query_id", "vec_id")
+    hits = truth.join(approx, ["query_id", "vec_id"], "left_semi")
+    n_truth = truth.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_truth")
+    )
+    n_hits = hits.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    return (
+        n_truth.join(n_hits, "query_id", "left")
+        .select(
+            "query_id", "n_truth",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_truth"), 4
+            ).alias("recall_r"),
+        )
+    )
+
+
+def _pair_recall(truth: DataFrame, cand: DataFrame) -> DataFrame:
+    """One-row (n_truth, n_candidates, n_hits, recall_r) for (doc_a,
+    doc_b) pair sets. recall_r is NULL when there is no ground truth."""
+    hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    counted = (
+        truth.agg(F.count("*").cast("long").alias("n_truth"))
+        .crossJoin(
+            cand.agg(F.count("*").cast("long").alias("n_candidates"))
+        )
+        .crossJoin(hits.agg(F.count("*").cast("long").alias("n_hits")))
+    )
+    return counted.select(
+        "n_truth", "n_candidates", "n_hits",
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("n_hits") / F.col("n_truth"), 4),
+        ).alias("recall_r"),
+    )
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d12: candidate recall of the MinHash-LSH band join (d5) against
+    exact n-gram Jaccard >= 0.5 ground truth (d3's bounded id range) —
+    pins the bands' recall so band-parameter tuning can't silently drop
+    true near-dups (VERDICT r3 #7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard(docs, max_doc_id=500).filter(
+        F.col("jaccard") >= 0.5
+    ).select("doc_a", "doc_b")
+    cand = dedup.lsh_candidate_pairs(docs).filter(
+        (F.col("doc_a") < 500) & (F.col("doc_b") < 500)
+    ).select("doc_a", "doc_b")
+    return _pair_recall(truth, cand)
+
+
+def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d13: candidate recall of the SimHash hamming<=3 pigeonhole join
+    (d7) against the same Jaccard >= 0.5 ground truth as d12."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard(docs, max_doc_id=500).filter(
+        F.col("jaccard") >= 0.5
+    ).select("doc_a", "doc_b")
+    cand = dedup.simhash_candidates(docs).filter(
+        (F.col("doc_a") < 500) & (F.col("doc_b") < 500)
+    ).select("doc_a", "doc_b")
+    return _pair_recall(truth, cand)
 
 
 def q_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,6 +539,9 @@ EXTRA_QUERIES = {
     "s2_ann_bucketed": q_ann_bucketed,
     "s2b_ann_exhaustive": q_ann_exhaustive,
     "s3_ivf_topk": q_ivf_topk,
+    "s5_ann_recall": q_ann_recall,
+    "d12_lsh_recall": q_lsh_recall,
+    "d13_simhash_recall": q_simhash_recall,
     "e1_events_hourly": q_events_hourly,
     "e2_events_sessions": q_events_sessions,
     "a12_font_keys": q_font_keys,
@@ -901,6 +993,218 @@ FROM bands a JOIN bands b
   AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 """
+
+
+# s2/s5: the hyperplane LSH bucketing (similarity.plane_sign — md5-parity
+# signs, so DuckDB can replay it exactly). Embeddings are 64-dim at every
+# SF (TESTDATA.md); 6 planes mirrors the s2 query's n_planes=6.
+_ANN_BUCKET_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e
+), planes AS (
+  SELECT pp.p AS p,
+    LIST(CASE WHEN strpos('02468ace',
+                substr(md5('plane:' || pp.p || ':' || dd.d), 1, 1)) > 0
+         THEN 1.0 ELSE -1.0 END ORDER BY dd.d) AS pv
+  FROM generate_series(0, 5) AS pp(p), generate_series(0, 63) AS dd(d)
+  GROUP BY pp.p
+), pbits AS (
+  SELECT n.vec_id, planes.p,
+    CASE WHEN list_dot_product(n.v, planes.pv) >= 0 THEN '1' ELSE '0'
+    END AS bit
+  FROM n, planes
+), bk AS (
+  SELECT vec_id, STRING_AGG(bit, '' ORDER BY p) AS bucket
+  FROM pbits GROUP BY vec_id
+), nb AS (
+  SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk USING (vec_id)
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket
+  FROM nb WHERE vec_id IN (0, 1, 2)
+), bsims AS (
+  SELECT q.query_id, nb.vec_id,
+    list_dot_product(q.qv, nb.v) / (q.qnrm * nb.nrm) AS cosine
+  FROM q JOIN nb ON nb.bucket = q.bucket AND nb.vec_id <> q.query_id
+), branked AS (
+  SELECT query_id, vec_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM bsims
+)
+"""
+
+EXTRA_ORACLES["s2_ann_bucketed"] = _ANN_BUCKET_SQL + f"""
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+  {_sql_py_round('cosine * 1000000.0')} / 1000000.0 AS cosine_r
+FROM branked WHERE rank <= 5
+"""
+
+# s5 mirrors bucketed_topk(n_planes=6, n_tables=16): table t = planes
+# 6t..6t+5, candidates unioned across tables (DISTINCT), then exact
+# cosine top-5 inside the candidate set vs brute-force truth.
+EXTRA_ORACLES["s5_ann_recall"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e
+), planes AS (
+  SELECT pp.p AS p,
+    LIST(CASE WHEN strpos('02468ace',
+                substr(md5('plane:' || pp.p || ':' || dd.d), 1, 1)) > 0
+         THEN 1.0 ELSE -1.0 END ORDER BY dd.d) AS pv
+  FROM generate_series(0, 95) AS pp(p), generate_series(0, 63) AS dd(d)
+  GROUP BY pp.p
+), pbits AS (
+  SELECT n.vec_id, planes.p,
+    CASE WHEN list_dot_product(n.v, planes.pv) >= 0 THEN '1' ELSE '0'
+    END AS bit
+  FROM n, planes
+), bkm AS (
+  SELECT vec_id, CAST(p // 6 AS BIGINT) AS table_idx,
+    STRING_AGG(bit, '' ORDER BY p) AS bucket
+  FROM pbits GROUP BY vec_id, p // 6
+), qm AS (
+  SELECT vec_id AS query_id, table_idx, bucket
+  FROM bkm WHERE vec_id IN (0, 1, 2)
+), candm AS (
+  SELECT DISTINCT q.query_id, b.vec_id
+  FROM qm q JOIN bkm b
+    ON b.table_idx = q.table_idx AND b.bucket = q.bucket
+    AND b.vec_id <> q.query_id
+), bsims AS (
+  SELECT c.query_id, c.vec_id,
+    list_dot_product(nq.v, nv.v) / (nq.nrm * nv.nrm) AS cosine
+  FROM candm c
+  JOIN n nq ON nq.vec_id = c.query_id
+  JOIN n nv ON nv.vec_id = c.vec_id
+), branked AS (
+  SELECT query_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM bsims
+), fsims AS (
+  SELECT nq.vec_id AS query_id, nv.vec_id,
+    list_dot_product(nq.v, nv.v) / (nq.nrm * nv.nrm) AS cosine
+  FROM n nq JOIN n nv ON nv.vec_id <> nq.vec_id
+  WHERE nq.vec_id IN (0, 1, 2)
+), franked AS (
+  SELECT query_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM fsims
+), truth AS (
+  SELECT query_id, vec_id FROM franked WHERE rank <= 5
+), approx AS (
+  SELECT query_id, vec_id FROM branked WHERE rank <= 5
+), nt AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+  FROM truth GROUP BY query_id
+), nh AS (
+  SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM truth t JOIN approx a USING (query_id, vec_id) GROUP BY t.query_id
+)
+SELECT nt.query_id, nt.n_truth,
+  CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
+  ROUND(CAST(COALESCE(nh.n_hits, 0) AS DOUBLE) / nt.n_truth, 4) AS recall_r
+FROM nt LEFT JOIN nh USING (query_id)
+"""
+
+# d12/d13: candidate recall vs exact Jaccard >= 0.5 ground truth on the
+# d3 bounded id range. The truth CTE repeats the d3 chain; the candidate
+# CTE repeats the d5 band chain (d12) / d7 pigeonhole chain (d13).
+_JACCARD_TRUTH_SQL = _DOCS_TOKS_SQL + """
+, sh AS (SELECT * FROM shingles WHERE doc_id < 500),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nbs ON nbs.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nbs.n - i.n_inter) >= 0.5
+)
+"""
+
+_PAIR_RECALL_TAIL_SQL = """
+, hits AS (
+  SELECT t.doc_a, t.doc_b
+  FROM truth t JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+  CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+       THEN ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                  / (SELECT COUNT(*) FROM truth), 4)
+       END AS recall_r
+"""
+
+EXTRA_ORACLES["d12_lsh_recall"] = _JACCARD_TRUTH_SQL + """
+, seeded AS (
+  SELECT doc_id, s.seed,
+    MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS min_hash
+  FROM shingles, generate_series(0, 7) AS s(seed)
+  GROUP BY doc_id, s.seed
+), bands AS (
+  SELECT doc_id, CAST(seed // 2 AS BIGINT) AS band_idx,
+    md5(STRING_AGG(CAST(seed AS VARCHAR) || ':' || min_hash,
+        '|' ORDER BY seed)) AS band_key
+  FROM seeded GROUP BY doc_id, seed // 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+    AND a.doc_id < b.doc_id
+  WHERE a.doc_id < 500 AND b.doc_id < 500
+)
+""" + _PAIR_RECALL_TAIL_SQL
+
+EXTRA_ORACLES["d13_simhash_recall"] = _JACCARD_TRUTH_SQL + """
+, nib AS (
+  SELECT doc_id, shingle, i.i AS nib_idx,
+    strpos('0123456789abcdef',
+           substr(md5(shingle), CAST(i.i AS INT), 1)) - 1 AS nv
+  FROM shingles, generate_series(1, 16) AS i(i)
+), bits AS (
+  SELECT doc_id, (nib_idx - 1) * 4 + j.j AS bit_idx,
+    CASE WHEN CAST(FLOOR(nv / POWER(2, 3 - j.j)) AS BIGINT) % 2 = 1
+         THEN 1 ELSE -1 END AS vote
+  FROM nib, generate_series(0, 3) AS j(j)
+), sigb AS (
+  SELECT doc_id, bit_idx,
+    CASE WHEN SUM(vote) > 0 THEN '1' ELSE '0' END AS bit
+  FROM bits GROUP BY doc_id, bit_idx
+), sig AS (
+  SELECT doc_id, STRING_AGG(bit, '' ORDER BY bit_idx) AS sb
+  FROM sigb GROUP BY doc_id
+), chunked AS (
+  SELECT doc_id, sb, c.c AS chunk_idx,
+    substr(sb, CAST(c.c AS INT) * 16 + 1, 16) AS chunk
+  FROM sig, generate_series(0, 3) AS c(c)
+), scand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.sb AS ba, b.sb AS bb
+  FROM chunked a JOIN chunked b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+    AND a.doc_id < b.doc_id
+), ham AS (
+  SELECT doc_a, doc_b,
+    (SELECT CAST(SUM(CASE WHEN substr(ba, CAST(p.p AS INT), 1)
+                       <> substr(bb, CAST(p.p AS INT), 1)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+     FROM generate_series(1, 64) AS p(p)) AS hamming
+  FROM scand
+), cand AS (
+  SELECT doc_a, doc_b FROM ham
+  WHERE hamming <= 3 AND doc_a < 500 AND doc_b < 500
+)
+""" + _PAIR_RECALL_TAIL_SQL
 
 
 # d8: the composed near-dup scale path (bands -> candidates -> df-capped

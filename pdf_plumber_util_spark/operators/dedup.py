@@ -222,29 +222,133 @@ def ngram_jaccard(docs: DataFrame, k: int = 3, max_doc_id: int | None = None,
     )
 
 
+def connected_components(edges: DataFrame, max_iter: int = 15,
+                         a_col: str = "doc_a",
+                         b_col: str = "doc_b") -> DataFrame:
+    """Min-label connected components over an undirected edge list by
+    alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond" §3 — public
+    algorithm, restated from the paper):
+
+      large-star: every strictly-larger neighbor of u re-attaches to
+        the minimum of u's closed neighborhood;
+      small-star: every not-larger neighbor (and u itself) re-attaches
+        to that minimum.
+
+    The alternation halves long paths instead of walking them, so it
+    converges in O(log n) rounds where naive min-label propagation
+    needs O(component diameter) — the difference between 12 rounds and
+    1000 rounds on a template-spam chain at crawl scale. The fixpoint
+    is a union of stars, each centered at its component's minimum id.
+
+    Scale shape: every round shuffles only the EDGE table (two id
+    columns — near-dup edges are corpus-bounded and typically far
+    smaller), never document content. Each round's table is
+    localCheckpoint'ed (eager): caching alone is NOT enough for an
+    iterative dataflow — the logical plan would still nest one level of
+    join/union/distinct per round and Catalyst re-optimizes the whole
+    history every round (measured: driver-heap OOM near round 10 on a
+    1000-edge chain). Checkpointing truncates the lineage so every
+    round's plan is flat. On a cluster, flip to reliable checkpoints
+    (sparkContext.setCheckpointDir + DataFrame.checkpoint) when
+    executor loss must not restart the loop.
+
+    Returns (node, component) for every node incident to an edge;
+    isolated nodes never appear (callers union them back — see
+    near_dup_pipeline). When ``max_iter`` rounds don't reach the
+    fixpoint a RuntimeWarning is raised and the current (possibly
+    split) stars are returned.
+    """
+    e = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iter):
+        # LARGE-STAR over the symmetric view: from the smaller endpoint
+        # of each edge, re-attach the larger one to the neighborhood min
+        sym = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("u", "_mn").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # SMALL-STAR over the (larger -> smaller) orientation: re-attach
+        # every smaller neighbor, and u itself, to the minimum
+        ee = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = (
+            ee.groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        new_e = (
+            ee.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        stable = new_e.count() == e.count() and (
+            new_e.join(e, ["u", "v"], "left_anti").limit(1).count() == 0
+        )
+        e = new_e
+        if stable:
+            converged = True
+            break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: large/small-star did not reach its "
+            f"fixpoint in {max_iter} rounds; components may carry split "
+            f"labels — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # fixpoint is a union of stars (child -> root); roots label themselves
+    children = e.groupBy("u").agg(F.min("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("u"))
+        .distinct()
+        .join(children, "u", "left_anti")
+        .select("u", F.col("u").alias("component"))
+    )
+    return children.union(roots).withColumnRenamed("u", "node")
+
+
 def near_dup_pipeline(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
                       k: int = 3, threshold: float = 0.5,
                       max_df: int | None = 1000,
-                      max_cc_iter: int = 10) -> DataFrame:
+                      max_cc_iter: int = 15) -> DataFrame:
     """The composed near-dup SCALE PATH (VERDICT r2 #5: make the capped-
     Jaccard guidance executable): LSH band candidates -> exact Jaccard
     verify restricted to candidate pairs (df-capped: shingles in more than
     ``max_df`` docs are dropped from the intersection join, denominators
-    pre-cap) -> connected-component canonical pick by iterated min-label
-    propagation with early stop.
+    pre-cap) -> connected-component canonical pick (large/small-star,
+    see connected_components).
 
     Per doc: (doc_id, canonical_id, is_duplicate). canonical_id is the
-    smallest doc_id reachable through verified near-dup edges (true CC
-    minimum once propagation converges — one round per hop of cluster
-    diameter, which for near-dup clusters is tiny; each round is one
-    shuffle of the label table, never of the corpus).
+    smallest doc_id reachable through verified near-dup edges — the true
+    component minimum, computed by connected_components (alternating
+    large/small-star, O(log n) edge-table rounds; round-3's min-label
+    propagation needed O(cluster diameter) rounds, which template-spam
+    chains at crawl scale can defeat). Each round shuffles only the edge
+    table, never the corpus.
     Everything upstream is candidate-bounded: the Jaccard join fans each
     candidate pair out by one side's capped shingles only.
-
-    The label table (doc_id-sized, two columns) is persisted across
-    propagation rounds so each convergence check doesn't replay the whole
-    lineage; the final round's table backs the returned DataFrame and
-    stays cached until the session drops it.
     """
     cands = lsh_candidate_pairs(docs, num_hashes, band_size, k)
     sh = doc_shingles(docs, k)
@@ -272,60 +376,19 @@ def near_dup_pipeline(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b")
     )
-    # symmetric edge list; labels start as self
-    edges = verified.union(
-        verified.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    labels = docs.select("doc_id", F.col("doc_id").alias("canonical_id"))
-    for _ in range(max_cc_iter):
-        neigh = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("canonical_id").alias("_nc"),
-                ),
-                "doc_b",
-            )
-            .groupBy("doc_a")
-            .agg(F.min("_nc").alias("_min_n"))
-            .withColumnRenamed("doc_a", "doc_id")
+    comp = connected_components(verified, max_iter=max_cc_iter)
+    labels = (
+        docs.select("doc_id")
+        .join(
+            comp.select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("_c"),
+            ),
+            "doc_id",
+            "left",
         )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    "canonical_id", F.coalesce("_min_n", "canonical_id")
-                ).alias("canonical_id"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        # labels are still moving after max_cc_iter rounds: a component
-        # with diameter > max_cc_iter would get SPLIT canonical ids.
-        # Surface it instead of returning silently inconsistent clusters.
-        import warnings
-
-        warnings.warn(
-            f"near_dup_pipeline: min-label propagation did not converge "
-            f"in {max_cc_iter} rounds; a connected component wider than "
-            f"that carries inconsistent canonical_id values — raise "
-            f"max_cc_iter",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-    edges.unpersist()
+        .select("doc_id", F.coalesce("_c", "doc_id").alias("canonical_id"))
+    )
     return labels.select(
         "doc_id", "canonical_id",
         (F.col("canonical_id") < F.col("doc_id")).alias("is_duplicate"),

@@ -51,51 +51,156 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
     )
 
 
-def hyperplane_buckets(emb: DataFrame, n_planes: int = 8) -> DataFrame:
-    """LSH bucketing by deterministic pseudo-random hyperplanes.
+def plane_sign(p: int, d: int) -> float:
+    """The shared hyperplane-component formula: plane p's component for
+    dimension d is +1.0 when the first hex nibble of md5("plane:p:d") is
+    even, else -1.0. Pure function of (p, d): no driver randomness,
+    cluster-size invariant, and md5 (unlike round-3's xxhash64) is
+    computable by the DuckDB oracle — which is what lets s2 carry a
+    direct value oracle instead of a rows-only check."""
+    import hashlib
 
-    Plane p's component for dimension d is derived from xxhash64(p, d),
-    mapped to {-1, +1} — no driver-side randomness, cluster-size invariant.
-    Bucket = bit string of sign(v . plane_p).
+    nib = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[0], 16)
+    return 1.0 if nib % 2 == 0 else -1.0
+
+
+def _plane_bit(p: int, n_dims: int | None):
+    """'1'/'0' Column for sign(v . plane_p) over the ``_v`` column.
+
+    Two physical paths, identical values (pinned by pytest):
+      * n_dims given (the production path): the whole plane matrix is
+        precomputed driver-side (n_planes * n_dims tiny floats) and rides
+        the plan as array literals — the per-row work is pure dot
+        products, ZERO hashing. n_dims must equal the embedding length
+        (a mismatch yields NULL buckets, not silent truncation).
+      * n_dims=None: the sign is derived in-plan per element with the
+        same md5 formula — dimension-agnostic, for inputs of unknown or
+        mixed width.
     """
-    dims = F.sequence(F.lit(0), F.size("_v") - 1)
-    base = with_norm(emb)
-
-    def plane_bit(p: int):
+    if n_dims is not None:
+        plane = F.array(*[F.lit(plane_sign(p, d)) for d in range(n_dims)])
+        comp = F.zip_with(F.col("_v"), plane, lambda x, s: x * s)
+    else:
+        dims = F.sequence(F.lit(0), F.size("_v") - 1)
         comp = F.zip_with(
             F.col("_v"),
             dims,
             lambda x, d: x
-            * F.when(F.pmod(F.xxhash64(F.lit(p), d), F.lit(2)) == 0, 1.0).otherwise(-1.0),
+            * F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.lit("plane"), F.lit(str(p)),
+                                d.cast("string"),
+                            )
+                        ),
+                        1, 1,
+                    ),
+                    16, 10,
+                ).cast("int")
+                % 2
+                == 0,
+                1.0,
+            ).otherwise(-1.0),
         )
-        s = F.aggregate(comp, F.lit(0.0), lambda acc, v: acc + v)
-        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+    s = F.aggregate(comp, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
 
+
+def hyperplane_buckets(emb: DataFrame, n_planes: int = 8,
+                       n_dims: int | None = None) -> DataFrame:
+    """LSH bucketing by deterministic pseudo-random hyperplanes
+    (plane_sign above). Bucket = bit string of sign(v . plane_p);
+    see _plane_bit for the two physical paths."""
+    base = with_norm(emb)
     # n_planes=0 -> one global bucket: the bucketed search degenerates to
     # exhaustive and must equal cosine_topk exactly (the value pin used by
     # the s2b oracle, mirroring the s3 nprobe==n_cells trick)
     bucket = (
-        F.concat(*[plane_bit(p) for p in range(n_planes)])
+        F.concat(*[_plane_bit(p, n_dims) for p in range(n_planes)])
         if n_planes
         else F.lit("")
     )
     return base.select("vec_id", bucket.alias("bucket"), "_v", "_norm")
 
 
+def hyperplane_buckets_tables(emb: DataFrame, n_planes: int = 6,
+                              n_tables: int = 8,
+                              n_dims: int | None = None) -> DataFrame:
+    """Multi-table (OR-amplified) hyperplane LSH: table t's bucket is the
+    sign bits of planes t*n_planes .. (t+1)*n_planes - 1 (same plane_sign
+    formula as hyperplane_buckets, just a wider plane range). A vector
+    lands in ``n_tables`` buckets; a candidate pair needs to agree in ANY
+    table — the standard recall amplifier: one n-bit table catches a
+    near neighbor with prob p^n, L tables with 1-(1-p^n)^L.
+
+    Output: (vec_id, table_idx, bucket, _v, _norm) — one row per table.
+    Scale shape: all n_tables * n_planes sign bits come from ONE map-side
+    projection (the explode emits n_tables small struct copies per row,
+    no recompute); downstream joins are (table_idx, bucket) equi-joins.
+    """
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
+    base = with_norm(emb)
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).cast("long").alias("table_idx"),
+            (
+                F.concat(*[
+                    _plane_bit(p, n_dims)
+                    for p in range(t * n_planes, (t + 1) * n_planes)
+                ])
+                if n_planes
+                else F.lit("")
+            ).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    return base.select(
+        "vec_id", F.explode(tables).alias("_tb"), "_v", "_norm"
+    ).select(
+        "vec_id", F.col("_tb.table_idx").alias("table_idx"),
+        F.col("_tb.bucket").alias("bucket"), "_v", "_norm",
+    )
+
+
 def bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
-                  n_planes: int = 6) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's bucket.
-    At 100 TB this turns O(N*Q) into a co-partitioned bucket join."""
-    b = hyperplane_buckets(emb, n_planes)
-    q = b.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("bucket"),
-        F.col("_v").alias("_qv"),
-        F.col("_norm").alias("_qnorm"),
-    )
-    joined = b.join(F.broadcast(q), "bucket").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+                  n_planes: int = 6, n_dims: int | None = None,
+                  n_tables: int = 1) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket(s).
+    At 100 TB this turns O(N*Q) into a co-partitioned bucket join.
+    ``n_tables > 1`` unions candidates across OR-amplified hash tables
+    (hyperplane_buckets_tables) — higher recall, n_tables-proportional
+    candidate cost; recall is pinned by the s5_ann_recall contract query
+    so tuning can't silently degrade it."""
+    if n_tables > 1:
+        bt = hyperplane_buckets_tables(emb, n_planes, n_tables, n_dims=n_dims)
+        qt = bt.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"),
+            "table_idx", "bucket",
+            F.col("_v").alias("_qv"),
+            F.col("_norm").alias("_qnorm"),
+        )
+        joined = (
+            bt.join(F.broadcast(qt), ["table_idx", "bucket"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            # a pair agreeing in several tables is still ONE candidate;
+            # every surviving row carries identical vectors, so the kept
+            # row is value-irrelevant
+            .dropDuplicates(["query_id", "vec_id"])
+        )
+    else:
+        b = hyperplane_buckets(emb, n_planes, n_dims=n_dims)
+        q = b.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("bucket"),
+            F.col("_v").alias("_qv"),
+            F.col("_norm").alias("_qnorm"),
+        )
+        joined = b.join(F.broadcast(q), "bucket").filter(
+            F.col("vec_id") != F.col("query_id")
+        )
     sim = joined.select(
         "query_id",
         "vec_id",

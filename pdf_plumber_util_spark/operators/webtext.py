@@ -174,6 +174,51 @@ def cap_per_host(df: DataFrame, url_col: str = "url",
     )
 
 
+def gopher_quality_cols(min_words: int = 50,
+                        max_words: int = 100_000,
+                        min_mean_word_len: float = 3.0,
+                        max_mean_word_len: float = 10.0,
+                        min_alpha_word_frac: float = 0.80,
+                        min_stop_hits: int = 2,
+                        text_col: str = "text") -> dict:
+    """Column expressions behind gopher_quality, exposed so composed
+    plans (plans/curate.py) can compute the gate map-side in an existing
+    projection instead of paying a doc_id join for a row-preserving
+    map-only operator."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = sum_len.cast("double") / n_words
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / n_words
+    )
+    sw = "|".join(LANG_STOPWORDS["en"])
+    # DISTINCT stopwords present (Gopher: "contain at least 2 of the
+    # following ... words"), not total occurrences — a doc whose only
+    # stopword content is "the ... the" has ONE stopword of evidence
+    stop_hits = F.size(
+        F.array_distinct(
+            F.regexp_extract_all(F.lower(text_col), F.lit(rf"\b({sw})\b"), 0)
+        )
+    )
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": mean_wl,
+        "alpha_word_frac": alpha_frac,
+        "stop_hits": stop_hits.cast("long"),
+        "keep": (
+            n_words.between(min_words, max_words)
+            & (mean_wl >= min_mean_word_len)
+            & (mean_wl <= max_mean_word_len)
+            & (alpha_frac > min_alpha_word_frac)
+            & (stop_hits >= min_stop_hits)
+        ),
+    }
+
+
 def gopher_quality(docs: DataFrame, min_words: int = 50,
                    max_words: int = 100_000,
                    min_mean_word_len: float = 3.0,
@@ -186,37 +231,20 @@ def gopher_quality(docs: DataFrame, min_words: int = 50,
     and minimum distinct stopword evidence. Map-only; `keep` is the
     conjunction.
     """
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n_words = F.size(toks)
-    sum_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
-    )
-    mean_wl = sum_len.cast("double") / n_words
-    alpha_frac = (
-        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / n_words
-    )
-    sw = "|".join(LANG_STOPWORDS["en"])
-    # DISTINCT stopwords present (Gopher: "contain at least 2 of the
-    # following ... words"), not total occurrences — a doc whose only
-    # stopword content is "the ... the" has ONE stopword of evidence
-    stop_hits = F.size(
-        F.array_distinct(
-            F.regexp_extract_all(F.lower("text"), F.lit(rf"\b({sw})\b"), 0)
-        )
+    c = gopher_quality_cols(
+        min_words=min_words, max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        min_alpha_word_frac=min_alpha_word_frac,
+        min_stop_hits=min_stop_hits,
     )
     return docs.select(
         "doc_id",
-        n_words.cast("long").alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        alpha_frac.alias("alpha_word_frac"),
-        stop_hits.cast("long").alias("stop_hits"),
-        (
-            n_words.between(min_words, max_words)
-            & (mean_wl >= min_mean_word_len)
-            & (mean_wl <= max_mean_word_len)
-            & (alpha_frac > min_alpha_word_frac)
-            & (stop_hits >= min_stop_hits)
-        ).alias("keep"),
+        c["n_words"].alias("n_words"),
+        c["mean_word_len"].alias("mean_word_len"),
+        c["alpha_word_frac"].alias("alpha_word_frac"),
+        c["stop_hits"].alias("stop_hits"),
+        c["keep"].alias("keep"),
     )
 
 
@@ -268,11 +296,9 @@ PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 PII_PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
 
 
-def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Redact emails, IPv4 addresses, and NNN-NNN-NNNN phone numbers,
-    reporting per-doc counts. Map-only regexp passes (Java regex here,
-    RE2 in the oracle — the patterns stay inside the common subset:
-    no backrefs, no lookaround)."""
+def pii_scrub_cols(text_col: str = "text") -> dict:
+    """Column expressions behind pii_scrub (see gopher_quality_cols for
+    why these are exposed): scrubbed_text plus per-kind match counts."""
     t = F.col(text_col)
     n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
     scrubbed = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
@@ -280,12 +306,26 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     scrubbed = F.regexp_replace(scrubbed, PII_IPV4_RE, "<IP>")
     n_phones = F.size(F.regexp_extract_all(scrubbed, F.lit(PII_PHONE_RE), 0))
     scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+    return {
+        "scrubbed_text": scrubbed,
+        "n_emails": n_emails.cast("long"),
+        "n_ips": n_ips.cast("long"),
+        "n_phones": n_phones.cast("long"),
+    }
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses, and NNN-NNN-NNNN phone numbers,
+    reporting per-doc counts. Map-only regexp passes (Java regex here,
+    RE2 in the oracle — the patterns stay inside the common subset:
+    no backrefs, no lookaround)."""
+    c = pii_scrub_cols(text_col)
     return docs.select(
         "doc_id",
-        scrubbed.alias("scrubbed_text"),
-        n_emails.cast("long").alias("n_emails"),
-        n_ips.cast("long").alias("n_ips"),
-        n_phones.cast("long").alias("n_phones"),
+        c["scrubbed_text"].alias("scrubbed_text"),
+        c["n_emails"].alias("n_emails"),
+        c["n_ips"].alias("n_ips"),
+        c["n_phones"].alias("n_phones"),
     )
 
 
@@ -474,6 +514,18 @@ def mix_sample(docs: DataFrame, rates: dict[str, float],
 
     Output: one row per doc — (doc_id, <strat_col>, hash_prefix, keep).
     """
+    prefix, keep = mix_sample_cols(
+        rates, default_rate=default_rate, salt=salt, strat_col=strat_col
+    )
+    return docs.select(
+        "doc_id", strat_col, prefix.alias("hash_prefix"), keep.alias("keep")
+    )
+
+
+def mix_sample_cols(rates: dict[str, float], default_rate: float = 1.0,
+                    salt: str = "mix1", strat_col: str = "lang"):
+    """(hash_prefix, keep) column expressions behind mix_sample (see
+    gopher_quality_cols for why these are exposed)."""
     prefix = F.substring(
         F.md5(F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string"))),
         1, 8,
@@ -486,9 +538,7 @@ def mix_sample(docs: DataFrame, rates: dict[str, float],
     keep = keep_expr(default_rate)
     for k, rate in sorted(rates.items()):
         keep = F.when(F.col(strat_col) == k, keep_expr(rate)).otherwise(keep)
-    return docs.select(
-        "doc_id", strat_col, prefix.alias("hash_prefix"), keep.alias("keep")
-    )
+    return prefix, keep
 
 
 def mix_plan(docs: DataFrame, targets: dict[str, float], token_budget: int,
@@ -593,6 +643,24 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     )
 
 
+def domain_match_col(rules: list[str], url_col: str = "url"):
+    """matched_rule column expression for the literal (zero-shuffle)
+    domain_gate path (see gopher_quality_cols for why this is exposed):
+    lexicographically-smallest rule matching the url's host at a label
+    boundary, NULL when nothing matches. ``rules`` must already be
+    lower-cased, deduped and sorted (domain_gate does this)."""
+    host = host_of(F.col(url_col))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."),
+    )
+    lit_rules = F.array(*[F.lit(r) for r in rules]) if rules else (
+        F.array().cast("array<string>"))
+    return F.array_min(F.array_intersect(suffixes, lit_rules))
+
+
 def domain_gate(df: DataFrame, domains: list[str], url_col: str = "url",
                 mode: str = "block", via_join: bool = False) -> DataFrame:
     """UT1-style domain list gate (the blocklist stage every crawl
@@ -627,10 +695,9 @@ def domain_gate(df: DataFrame, domains: list[str], url_col: str = "url",
     )
     base = df.withColumn("host", host)
     if not via_join:
-        lit_rules = F.array(*[F.lit(r) for r in rules]) if rules else (
-            F.array().cast("array<string>"))
-        matched = F.array_min(F.array_intersect(suffixes, lit_rules))
-        out = base.withColumn("matched_rule", matched)
+        out = base.withColumn(
+            "matched_rule", domain_match_col(rules, url_col=url_col)
+        )
     else:
         spark = df.sparkSession
         rules_df = spark.createDataFrame(

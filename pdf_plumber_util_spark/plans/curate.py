@@ -4,25 +4,36 @@ The CLI `curate` subcommand is a thin wrapper over `curate_corpus`; the
 function exists so pipelines can embed the funnel (and so its plan shape
 can be pinned by tests, like every other composed plan in `plans/`).
 
-Gate composition (all doc_id-keyed joins, so the flag joins
-co-partition; the only text-sized exchanges are the ones the underlying
-operators document — the dedup fingerprint groupBy, the span-hash
-groupBy when the span gate is on, and the broadcast eval n-grams):
+Gate composition. The four row-preserving MAP-ONLY gates are computed
+in ONE projection over the input (no join, no re-scan):
 
-  domain_keep       optional UT1 blocklist (webtext.domain_gate)
-  span_keep         optional ExactSubstr duplicate-span coverage gate
-  quality_keep      Gopher quality rules (webtext.gopher_quality)
+  quality_keep      Gopher quality rules (webtext.gopher_quality_cols)
+  domain_keep       optional UT1 blocklist (webtext.domain_match_col,
+                    literal zero-shuffle path)
+  mix (in keep)     optional deterministic mix subsample
+                    (webtext.mix_sample_cols)
+  scrubbed text     PII redaction + counts (webtext.pii_scrub_cols)
+
+Only the gates that genuinely aggregate join back, all doc_id-keyed so
+they co-partition; the only text-sized exchanges are the ones the
+underlying operators document — the dedup fingerprint groupBy, the
+span-hash groupBy when the span gate is on, the (doc, word) explode of
+the perplexity gate, and the broadcast eval n-grams:
+
   repetition_keep   Gopher repetition gates (text_analysis)
+  is_duplicate      exact dedup, first occurrence survives
+  span_keep         optional ExactSubstr duplicate-span coverage gate
   perplexity_keep   optional CCNet head/middle gate (drop the tail
                     tertile under corpus-estimated approx_percentile
                     cutoffs; text_analysis.lm_perplexity +
                     perplexity_cutoffs + perplexity_bucket)
-  is_duplicate      exact dedup, first occurrence survives
   is_contaminated   optional benchmark decontamination (broadcast evals)
-  mix_keep          optional deterministic mix subsample (folded into keep)
 
 Output: one row per input doc — (doc_id, keep, per-gate flags,
-PII-scrubbed text, n_pii_redactions).
+PII-scrubbed text, n_pii_redactions). Identical values to the
+round-3 all-joins formulation (the a19 oracle and CLI pytests pin
+this); the fold only removes four doc_id exchanges and four re-scans
+of the text column.
 """
 
 from __future__ import annotations
@@ -44,23 +55,51 @@ def curate_corpus(docs: DataFrame, *, min_words: int = 50,
                   drop_perplexity_tail: bool = False) -> DataFrame:
     from ..operators.dedup import decontaminate, exact_duplicates
     from ..operators.text_analysis import repetition_stats
-    from ..operators.webtext import gopher_quality, mix_sample, pii_scrub
+    from ..operators.webtext import (
+        domain_match_col,
+        gopher_quality_cols,
+        mix_sample_cols,
+        pii_scrub_cols,
+    )
 
-    domain_keep = None
+    # the four row-preserving map-only gates, folded into ONE projection
+    # (round-3 formulation joined each back by doc_id — identical values,
+    # four more exchanges and four more scans of the text column)
+    q = gopher_quality_cols(min_words=min_words)
+    p = pii_scrub_cols()
+    base_cols = [
+        F.col("doc_id"),
+        # null/too-short text must fail quality, never give keep=NULL
+        F.coalesce(q["keep"], F.lit(False)).alias("quality_keep"),
+        p["scrubbed_text"].alias("_scrubbed_text"),
+        (p["n_emails"] + p["n_ips"] + p["n_phones"]).alias("_n_pii"),
+    ]
     if block_domains:
-        from ..operators.webtext import domain_gate
-
         if "url" not in docs.columns:
             raise EngineError(
                 "block_domains needs a 'url' column on the input",
                 suggestion="add a url column or drop block_domains",
             )
-        domain_keep = domain_gate(docs, block_domains).select(
-            "doc_id", (~F.col("is_blocked")).alias("domain_keep")
+        rules = sorted(set(d.lower() for d in block_domains))
+        base_cols.append(
+            domain_match_col(rules).isNull().alias("domain_keep")
         )
-    quality = gopher_quality(docs, min_words=min_words).select(
-        "doc_id", F.col("keep").alias("quality_keep")
-    )
+    else:
+        base_cols.append(F.lit(True).alias("domain_keep"))
+    if mix_rates:
+        if "lang" not in docs.columns:
+            raise EngineError(
+                "mix_rates needs a 'lang' column on the input",
+                suggestion="add a lang column (e.g. via lang_id) or drop "
+                "mix_rates",
+            )
+        _, mix_keep = mix_sample_cols(mix_rates, salt=mix_salt)
+        base_cols.append(
+            F.coalesce(mix_keep, F.lit(True)).alias("_mix_keep")
+        )
+    else:
+        base_cols.append(F.lit(True).alias("_mix_keep"))
+
     repetition = repetition_stats(docs).select(
         "doc_id", F.col("keep").alias("repetition_keep")
     )
@@ -101,27 +140,19 @@ def curate_corpus(docs: DataFrame, *, min_words: int = 50,
             ),
         )
     flags = (
-        docs.select("doc_id")
-        .join(quality, "doc_id", "left")
+        docs.select(*base_cols)
         .join(repetition, "doc_id", "left")
+        .withColumn(
+            # docs too short for any 5-gram have nothing to repeat
+            "repetition_keep", F.coalesce("repetition_keep", F.lit(True))
+        )
         .join(dup, "doc_id", "left")
         # exact_duplicates now fingerprints null text as empty, but the
         # coalesce stays as belt-and-braces: a doc missing from the dup
         # output must count as non-duplicate, never as keep=NULL
         # (silently excluded from both kept and dropped funnel counts)
         .withColumn("is_duplicate", F.coalesce("is_duplicate", F.lit(False)))
-        .withColumn("quality_keep", F.coalesce("quality_keep", F.lit(False)))
-        .withColumn(
-            # docs too short for any 5-gram have nothing to repeat
-            "repetition_keep", F.coalesce("repetition_keep", F.lit(True))
-        )
     )
-    if domain_keep is not None:
-        flags = flags.join(domain_keep, "doc_id", "left").withColumn(
-            "domain_keep", F.coalesce("domain_keep", F.lit(True))
-        )
-    else:
-        flags = flags.withColumn("domain_keep", F.lit(True))
     if span_keep is not None:
         flags = flags.join(span_keep, "doc_id", "left").withColumn(
             "span_keep", F.coalesce("span_keep", F.lit(True))
@@ -153,28 +184,12 @@ def curate_corpus(docs: DataFrame, *, min_words: int = 50,
         & F.col("perplexity_keep")
         & ~F.col("is_duplicate")
         & ~F.col("is_contaminated")
+        & F.col("_mix_keep")
     )
-    flags = flags.withColumn("keep", keep)
-    if mix_rates:
-        if "lang" not in docs.columns:
-            raise EngineError(
-                "mix_rates needs a 'lang' column on the input",
-                suggestion="add a lang column (e.g. via lang_id) or drop "
-                "mix_rates",
-            )
-        mix = mix_sample(docs, mix_rates, salt=mix_salt).select(
-            "doc_id", F.col("keep").alias("mix_keep")
-        )
-        flags = flags.join(mix, "doc_id", "left").withColumn(
-            "keep", F.col("keep") & F.coalesce("mix_keep", F.lit(True))
-        )
-    scrubbed = pii_scrub(docs)
-    return flags.join(scrubbed, "doc_id").select(
-        "doc_id", "keep", "domain_keep", "span_keep", "quality_keep",
-        "repetition_keep", "perplexity_keep", "is_duplicate",
-        "is_contaminated",
-        F.col("scrubbed_text").alias("text"),
-        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias(
-            "n_pii_redactions"
-        ),
+    return flags.select(
+        "doc_id", keep.alias("keep"), "domain_keep", "span_keep",
+        "quality_keep", "repetition_keep", "perplexity_keep",
+        "is_duplicate", "is_contaminated",
+        F.col("_scrubbed_text").alias("text"),
+        F.col("_n_pii").alias("n_pii_redactions"),
     )

@@ -357,6 +357,99 @@ def test_near_dup_pipeline_planted_duplicates(spark):
     assert out[5] == (5, False)
 
 
+def test_hyperplane_bucket_physical_paths_agree(spark, sf_dir):
+    """The literal-plane-matrix path (n_dims=64, zero in-plan hashing)
+    and the dimension-agnostic in-plan md5 path (n_dims=None) are two
+    physical plans for the SAME plane_sign formula — buckets must be
+    identical (similarity._plane_bit contract)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    lit_path = {
+        r.vec_id: r.bucket
+        for r in similarity.hyperplane_buckets(emb, 6, n_dims=64).collect()
+    }
+    md5_path = {
+        r.vec_id: r.bucket
+        for r in similarity.hyperplane_buckets(emb, 6, n_dims=None).collect()
+    }
+    assert lit_path == md5_path and len(lit_path) == 100
+
+
+def test_multi_table_ann_identities(spark, sf_dir):
+    """Multi-table (OR-amplified) bucketed ANN: (a) with n_planes=0 every
+    table is one global bucket, so any n_tables equals brute force;
+    (b) table 0 of the multi-table bucketing IS the single-table
+    bucketing (same plane range), so candidates are a superset and
+    recall@k against brute-force truth is monotone in n_tables."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    brute = [
+        (r.query_id, r.rank, r.vec_id)
+        for r in similarity.cosine_topk(emb, [0, 1, 2], k=5)
+        .orderBy("query_id", "rank").collect()
+    ]
+    degenerate = [
+        (r.query_id, r.rank, r.vec_id)
+        for r in similarity.bucketed_topk(emb, [0, 1, 2], k=5, n_planes=0,
+                                          n_tables=3)
+        .orderBy("query_id", "rank").collect()
+    ]
+    assert degenerate == brute
+
+    truth = {(q, v) for q, _, v in brute}
+
+    def hits(n_tables):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in similarity.bucketed_topk(emb, [0, 1, 2], k=5,
+                                              n_planes=6, n_tables=n_tables)
+            .collect()
+        }
+        return len(got & truth)
+
+    h1, h8 = hits(1), hits(8)
+    assert h1 <= h8 <= len(truth)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A planted 1000-link chain (the adversarial case for round-3's
+    min-label propagation, which needed one round per hop) must converge
+    inside the default O(log n) budget of the large/small-star CC — and
+    with no convergence warning."""
+    import warnings
+
+    from pdf_plumber_util_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        comp = {
+            r["node"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+    assert len(comp) == 1001
+    assert set(comp.values()) == {0}
+
+
+def test_connected_components_multi_component_and_star(spark):
+    """Several components of different shapes keep distinct min labels:
+    a triangle, a 2-chain, and a pair; node ids deliberately interleaved
+    so min-labels aren't positional."""
+    from pdf_plumber_util_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(7, 2), (2, 9), (9, 7),      # triangle, min 2
+         (1, 8), (8, 4),              # chain, min 1
+         (3, 6)],                     # pair, min 3
+        "doc_a long, doc_b long",
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp == {2: 2, 7: 2, 9: 2, 1: 1, 8: 1, 4: 1, 3: 3, 6: 3}
+
+
 # ------------------------------------------ crawl-curation additions (r3)
 
 

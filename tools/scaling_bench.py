@@ -114,19 +114,58 @@ def wait_for_quiet(threshold_m: float, max_wait_s: float = 1800) -> float:
 
 def _interleaved(pages_dir: str, low: int, high: int, rounds: int,
                  reps: int) -> dict:
-    """A/B/A/B… rounds of fresh JVMs, symmetric warm-up/timed counts."""
+    """A/B/A/B… rounds of fresh JVMs, symmetric warm-up/timed counts.
+
+    SELF-GATING (round-3 verdict #4): a single pre-round probe cannot
+    certify a window, so EVERY level's start is gated — the probe waits
+    (up to SPARK_GRAFT_SCALE_GATE_WAIT s) for capacity >= the gate before
+    launching that level's JVM. A round where any gate cannot be met is
+    REJECTED outright and re-attempted (up to SPARK_GRAFT_SCALE_MAX_RETRIES
+    extra attempts), so no recorded round ever started a level throttled;
+    the accepted/rejected probe trail is embedded in the artifact instead
+    of prose caveats after the fact."""
     jvm_secs: dict[int, list[list[float]]] = {low: [], high: []}
-    caps: list[float] = []
+    caps: list[dict] = []
     docs = 0
     threshold = float(os.environ.get("SPARK_GRAFT_CAP_THRESHOLD_M", "220"))
-    for _ in range(rounds):
-        caps.append(wait_for_quiet(threshold))
+    gate_wait = float(os.environ.get("SPARK_GRAFT_SCALE_GATE_WAIT", "600"))
+    max_attempts = rounds + int(
+        os.environ.get("SPARK_GRAFT_SCALE_MAX_RETRIES", "4")
+    )
+    attempts = 0
+    while len(jvm_secs[low]) < rounds and attempts < max_attempts:
+        attempts += 1
+        round_caps: list[float] = []
+        results: dict[int, dict] = {}
+        ok = True
         for cores in (low, high):
-            r = run_level(pages_dir, cores, reps=reps, warmups=WARMUPS)
-            docs = r["docs"]
-            jvm_secs[cores].append(r["secs"])
-            print(json.dumps(r), file=sys.stderr, flush=True)
-    return {"docs": docs, "jvm_secs": jvm_secs, "capacity_probes_M": caps}
+            cap = wait_for_quiet(threshold, max_wait_s=gate_wait)
+            round_caps.append(round(cap, 1))
+            if cap < threshold:
+                ok = False
+                break
+            results[cores] = run_level(
+                pages_dir, cores, reps=reps, warmups=WARMUPS
+            )
+            print(json.dumps(results[cores]), file=sys.stderr, flush=True)
+        caps.append({"attempt": attempts, "probes_M": round_caps,
+                     "accepted": ok})
+        if not ok:
+            print(json.dumps({"rejected_round": attempts,
+                              "probes_M": round_caps}),
+                  file=sys.stderr, flush=True)
+            continue
+        for cores in (low, high):
+            jvm_secs[cores].append(results[cores]["secs"])
+            docs = results[cores]["docs"]
+    if len(jvm_secs[low]) < rounds:
+        raise RuntimeError(
+            f"only {len(jvm_secs[low])}/{rounds} rounds cleared the "
+            f"capacity gate ({threshold} M) in {max_attempts} attempts — "
+            "window too hostile; re-run later rather than record"
+        )
+    return {"docs": docs, "jvm_secs": jvm_secs, "capacity_probes_M": caps,
+            "rejected_rounds": attempts - rounds}
 
 
 def generate_pages(n_docs: int, out_dir: str) -> None:
@@ -166,6 +205,11 @@ def main() -> None:
 
     inter = _interleaved(pages_dir, low, high, rounds=ROUNDS, reps=reps)
     jvm_secs = inter["jvm_secs"]
+    # the AQE-off reference gets the same start gate as the rounds
+    wait_for_quiet(
+        float(os.environ.get("SPARK_GRAFT_CAP_THRESHOLD_M", "220")),
+        max_wait_s=float(os.environ.get("SPARK_GRAFT_SCALE_GATE_WAIT", "600")),
+    )
     aqe_off_ref = run_level(pages_dir, high, 2, aqe="false")
 
     docs = inter["docs"]
@@ -213,7 +257,8 @@ def main() -> None:
         "jvm_runs_sec": {str(c): [[round(x, 2) for x in jvm] for jvm in jvm_secs[c]]
                          for c in jvm_secs},
         "aqe_off_high_median_sec": round(statistics.median(aqe_off_ref["secs"]), 2),
-        "capacity_probes_M": [round(c, 1) for c in inter["capacity_probes_M"]],
+        "round_gates": inter["capacity_probes_M"],
+        "rejected_rounds": inter["rejected_rounds"],
     }
     print(json.dumps(summary))
 
@@ -244,8 +289,11 @@ def main() -> None:
                 f"AQE-off reference at local[{high}]: "
                 f"{summary['aqe_off_high_median_sec']} s median.\n"
                 f"Per-JVM pass sequences: {summary['jvm_runs_sec']}\n"
-                f"Capacity probes (M iters/5s, healthy ~250+): "
-                f"{summary['capacity_probes_M']}\n"
+                f"Round gates (per-level start probes, M iters/5s, gate "
+                f"{os.environ.get('SPARK_GRAFT_CAP_THRESHOLD_M', '220')} M; "
+                f"rounds failing a gate were rejected and re-attempted, "
+                f"never recorded): {summary['round_gates']}; "
+                f"rejected rounds: {summary['rejected_rounds']}\n"
             )
 
 
