@@ -10,23 +10,32 @@ pipeline additionally runs on SPARK_GRAFT_BENCH_DOCS synthetic pages
 
 Host-health protocol (this sandbox throttles its CPU budget in
 multi-minute windows — BASELINE.md "Measurement caveat"): the run is
-SELF-GATING PER QUERY. The budget is burst-refillable, and one full
-query PASS (~50 s of 32-core work) drains most of a burst — gating
-once per pass still times the later queries into a drained window
-(the 2026-08-18 local run gated both passes healthy yet recorded
-near-identical throttled totals, while its html pass-2, timed right
-after a fresh gate, ran 20x faster than pass-1). So the harness
-probes spin capacity before EVERY individual query timing and, if the
-window is throttled (< SPARK_GRAFT_BENCH_CAP_M, default 250 M),
-sleeps and re-probes — up to SPARK_GRAFT_BENCH_MAX_WAIT seconds per
-segment (default 300) and SPARK_GRAFT_BENCH_TOTAL_WAIT cumulative
-across the run (default 900, so a hostile window degrades the
-artifact rather than hanging the driver). Every query is timed over
-TWO gated attempts (one per pass) and the MIN is recorded; with both
-attempts starting healthy, min-of-two removes residual JIT and any
-clamp that lands mid-query. All probes (one per segment start, plus a
-final) are embedded in the JSON so the artifact carries its own
-health evidence.
+SELF-GATING, and the gate is two-part because the throttle is a
+burst-refillable quota with hidden state:
+
+  * the 16-process spin probe (tools/scaling_bench.cpu_capacity)
+    measures the CURRENT allowed rate — it catches a clamped window
+    (< SPARK_GRAFT_BENCH_CAP_M, default 250 M → sleep and re-probe,
+    up to SPARK_GRAFT_BENCH_MAX_WAIT s per segment / _TOTAL_WAIT s
+    cumulative) but NOT how much burst RESERVE remains: a probe can
+    read healthy immediately after a heavy pass, and a 32-core query
+    launched right then still exhausts the reserve mid-run (observed
+    2026-08-18: both passes gated healthy at ~260 M yet flagship
+    timed 10-17 s vs its 6.1 s quiet median, while the html pass that
+    ran after ~100 s of accumulated gate sleeps was 6x faster than
+    its drained twin);
+  * so after the probe clears, the harness IDLES for
+    SPARK_GRAFT_BENCH_REFILL s (default 45) before every EXPENSIVE
+    segment (flagship, curate funnel, html passes) — idle time is
+    when the quota reserve refills.
+
+Probes themselves cost ~80 core-seconds each (16 procs x 5 s), so
+only pass starts and expensive segments are gated; the sub-3 s
+queries ride the pass window they started in and min-of-two passes
+absorbs any residual clamp. The flagship gets a THIRD gated cold
+attempt at the end (it is the headline number). All probes and waits
+are embedded in the JSON so the artifact carries its own health
+evidence.
 """
 
 from __future__ import annotations
@@ -43,6 +52,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CAP_GATE_M = float(os.environ.get("SPARK_GRAFT_BENCH_CAP_M", "250"))
 MAX_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "300"))
 TOTAL_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_TOTAL_WAIT", "900"))
+REFILL_S = float(os.environ.get("SPARK_GRAFT_BENCH_REFILL", "45"))
+
+# queries heavy enough to need their own burst reserve (see module doc)
+EXPENSIVE = {"flagship_body_text", "curate_corpus"}
 
 BENCH_QUERIES = [
     "flagship_body_text",
@@ -92,10 +105,13 @@ def _probe():
         return None
 
 
-def _gate(probes: list, waits: list, segment: str) -> None:
+def _gate(probes: list, waits: list, segment: str,
+          refill_s: float = 0.0) -> None:
     """Block until the CPU window is healthy (capacity >= gate) or the
-    per-segment / cumulative wait budgets run out; record the probe
-    either way (the artifact must carry its own health evidence)."""
+    per-segment / cumulative wait budgets run out, then idle refill_s
+    more to rebuild the burst reserve (the probe cannot see it — module
+    doc). The probe is recorded either way: the artifact must carry its
+    own health evidence."""
     p = _probe()
     waited = 0.0
     while (
@@ -114,6 +130,10 @@ def _gate(probes: list, waits: list, segment: str) -> None:
         time.sleep(20)
         waited += 20
         p = _probe()
+    # the refill idle is a bounded, fixed-count cost (one per expensive
+    # segment), so it does not draw down the throttle-wait budget
+    if refill_s:
+        time.sleep(refill_s)
     probes.append(p)
     waits.append(round(waited, 1))
 
@@ -151,9 +171,11 @@ def main() -> None:
     for p in range(2):
         clear_shared_lines()
         spark.catalog.clearCache()
+        _gate(probes, waits, f"pass_{p + 1}")
         timings: dict[str, float] = {}
         for name in BENCH_QUERIES:
-            _gate(probes, waits, f"{name}_p{p + 1}")
+            if name in EXPENSIVE:
+                _gate(probes, waits, f"{name}_p{p + 1}", refill_s=REFILL_S)
             t0 = time.time()
             df = qmap[name](spark, SF_DIR)
             n = df.count()
@@ -177,16 +199,25 @@ def main() -> None:
         pages.count()
         extract_documents(pages.limit(256)).count()
         for p in range(2):
-            _gate(probes, waits, f"html_pass_{p + 1}")
+            _gate(probes, waits, f"html_pass_{p + 1}", refill_s=REFILL_S)
             t0 = time.time()
             n_extracted = extract_documents(pages).count()
             extract_secs.append(time.time() - t0)
         pages.unpersist()
     extract_sec = min(extract_secs) if extract_secs else 0.0
 
+    # third gated cold attempt for the headline flagship number
+    clear_shared_lines()
+    spark.catalog.clearCache()
+    _gate(probes, waits, "flagship_p3", refill_s=REFILL_S)
+    t0 = time.time()
+    n_docs = qmap["flagship_body_text"](spark, SF_DIR).count()
+    flag_p3 = round(time.time() - t0, 3)
+
     best = {
         name: min(ps[name] for ps in pass_secs) for name in BENCH_QUERIES
     }
+    best["flagship_body_text"] = min(best["flagship_body_text"], flag_p3)
     total = sum(best.values())
     # the BENCH_r01-r03 query set (curate_corpus joined in round 4) —
     # reported separately so round-over-round totals stay comparable
@@ -212,7 +243,9 @@ def main() -> None:
             round(sum(ps.values()), 3) for ps in pass_secs
         ],
         "per_pass_queries_sec": pass_secs,
+        "flagship_third_attempt_sec": flag_p3,
         "html_extract_passes_sec": [round(s, 3) for s in extract_secs],
+        "refill_idle_s": REFILL_S,
         "host_capacity_M": start_probe,
         "capacity_probes_M": probes,
         "capacity_gate_M": CAP_GATE_M,
