@@ -140,6 +140,14 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
     Entirely map-side: the k-gram hash array, the window minima, and the
     per-doc dedup are array expressions over each document row; only the
     final explode leaves the row. Output: (doc_id, fingerprint).
+
+    The sliding-window minimum is a chain of w-1 zip_withs of F.least
+    over shifted slices of the hash array: zip_with evaluates its array
+    arguments ONCE per row, where a per-position array_min(slice(...))
+    lambda re-evaluates the captured hash-array expression per element —
+    O(chars * k) md5 work per position, O(chars^2 * k) per document
+    (measured: sf0.1 did not finish in 9 minutes; this shape runs it in
+    seconds).
     """
     if max_doc_id is not None:
         docs = docs.filter(F.col("doc_id") < max_doc_id)
@@ -148,10 +156,15 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
         F.sequence(F.lit(1), n - (k - 1)),
         lambda i: F.md5(F.col("text").substr(i, F.lit(k))),
     )
-    mins = F.transform(
-        F.sequence(F.lit(1), F.size(grams) - (w - 1)),
-        lambda j: F.array_min(F.slice(grams, j, w)),
-    )
+    size = F.size(grams)
+    acc = grams
+    for s in range(1, w):
+        acc = F.zip_with(
+            acc, F.slice(grams, s + 1, size - s),
+            lambda a, b: F.least(a, b),
+        )
+    # zip_with pads to the longer array; cut the trailing partial windows
+    mins = F.slice(acc, 1, size - (w - 1))
     sel = F.when(n >= k + w - 1, F.array_distinct(mins)).otherwise(
         F.array().cast("array<string>")
     )
