@@ -196,6 +196,22 @@ def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_recall(truth, cand)
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d14: the multi-table (OR-amplified) embedding-cosine near-dup
+    scale path, DIRECTLY value-oracled (the md5-parity plane_sign is
+    DuckDB-replayable; the single-table variant was rows-only in round
+    1). threshold=0.30 keeps the query non-vacuous on the synthetic
+    random vectors (true near-identical pairs would sit at >= 0.9)."""
+    out = similarity.embedding_neardup_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.30, n_planes=6, n_tables=8,
+    )
+    return out.select(
+        "vec_a", "vec_b",
+        (py_round(F.col("cosine") * 1e6) / 1e6).alias("cosine_r"),
+    )
+
+
 def q_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """s2b: the bucketed ANN with n_planes=0 (one global bucket) is
     exhaustive by construction and must equal brute-force cosine top-k —
@@ -542,6 +558,7 @@ EXTRA_QUERIES = {
     "s5_ann_recall": q_ann_recall,
     "d12_lsh_recall": q_lsh_recall,
     "d13_simhash_recall": q_simhash_recall,
+    "d14_embedding_near_dup": q_embedding_near_dups,
     "e1_events_hourly": q_events_hourly,
     "e2_events_sessions": q_events_sessions,
     "a12_font_keys": q_font_keys,
@@ -1110,6 +1127,48 @@ SELECT nt.query_id, nt.n_truth,
   ROUND(CAST(COALESCE(nh.n_hits, 0) AS DOUBLE) / nt.n_truth, 4) AS recall_r
 FROM nt LEFT JOIN nh USING (query_id)
 """
+
+# d14: embedding-cosine near-dup pairs — the multi-table bucketing of s5
+# (8 tables here: planes 0..47, table t = planes 6t..6t+5), pair
+# candidates from the (table_idx, bucket) self-join, exact cosine >= 0.30.
+EXTRA_ORACLES["d14_embedding_near_dup"] = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e
+), planes AS (
+  SELECT pp.p AS p,
+    LIST(CASE WHEN strpos('02468ace',
+                substr(md5('plane:' || pp.p || ':' || dd.d), 1, 1)) > 0
+         THEN 1.0 ELSE -1.0 END ORDER BY dd.d) AS pv
+  FROM generate_series(0, 47) AS pp(p), generate_series(0, 63) AS dd(d)
+  GROUP BY pp.p
+), pbits AS (
+  SELECT n.vec_id, planes.p,
+    CASE WHEN list_dot_product(n.v, planes.pv) >= 0 THEN '1' ELSE '0'
+    END AS bit
+  FROM n, planes
+), bkm AS (
+  SELECT vec_id, CAST(p // 6 AS BIGINT) AS table_idx,
+    STRING_AGG(bit, '' ORDER BY p) AS bucket
+  FROM pbits GROUP BY vec_id, p // 6
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bkm a JOIN bkm b
+    ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+    AND a.vec_id < b.vec_id
+), sims AS (
+  SELECT c.vec_a, c.vec_b,
+    list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cosine
+  FROM cand c
+  JOIN n na ON na.vec_id = c.vec_a
+  JOIN n nb ON nb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b,
+  {_sql_py_round('cosine * 1000000.0')} / 1000000.0 AS cosine_r
+FROM sims WHERE cosine >= 0.30
+"""
+
 
 # d12/d13: candidate recall vs exact Jaccard >= 0.5 ground truth on the
 # d3 bounded id range. The truth CTE repeats the d3 chain; the candidate

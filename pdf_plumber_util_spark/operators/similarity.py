@@ -348,16 +348,32 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.9,
 
 
 def embedding_neardup_lsh(emb: DataFrame, threshold: float = 0.9,
-                          n_planes: int = 6) -> DataFrame:
-    """Scale path for near-dup: candidates only within an LSH bucket
-    (co-partitioned equi-join on bucket — no cross product), then exact
-    cosine verify. Recall < 1 by construction (rows-only check)."""
-    b = hyperplane_buckets(emb, n_planes)
-    l = b.select("bucket", F.col("vec_id").alias("vec_a"),
+                          n_planes: int = 6, n_tables: int = 1,
+                          n_dims: int | None = None) -> DataFrame:
+    """Scale path for embedding-cosine near-dup: candidates only within
+    an LSH bucket (co-partitioned equi-join on bucket — no cross
+    product), then exact cosine verify. ``n_tables > 1`` ORs candidates
+    across amplified hash tables (hyperplane_buckets_tables): a pair
+    agreeing in ANY table is a candidate — recall 1-(1-p^n_planes)^
+    n_tables, deduplicated to ONE candidate on (vec_a, vec_b) before the
+    map-side cosine verify, so the verify cost never multiplies by
+    n_tables. Since round 4 the md5-parity plane_sign makes the whole
+    path value-oracle-able in DuckDB (d14)."""
+    if n_tables > 1:
+        b = hyperplane_buckets_tables(emb, n_planes, n_tables, n_dims=n_dims)
+        keys = ["table_idx", "bucket"]
+    else:
+        b = hyperplane_buckets(emb, n_planes, n_dims=n_dims)
+        keys = ["bucket"]
+    l = b.select(*keys, F.col("vec_id").alias("vec_a"),
                  F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
-    r = b.select("bucket", F.col("vec_id").alias("vec_b"),
+    r = b.select(*keys, F.col("vec_id").alias("vec_b"),
                  F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
-    pairs = l.join(r, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    pairs = l.join(r, keys).filter(F.col("vec_a") < F.col("vec_b"))
+    if n_tables > 1:
+        # all rows of a pair carry identical vectors: the kept row is
+        # value-free
+        pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
     sim = pairs.select(
         "vec_a", "vec_b",
         (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine"),

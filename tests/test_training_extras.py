@@ -409,6 +409,40 @@ def test_multi_table_ann_identities(spark, sf_dir):
     assert h1 <= h8 <= len(truth)
 
 
+def test_embedding_neardup_multi_table(spark, sf_dir):
+    """d14 path: (a) multi-table candidates are a SUPERSET of
+    single-table (table 0 is the single table), so pairs found at
+    n_tables=1 are found at n_tables=8 with identical exact cosines;
+    (b) a planted duplicate vector is always caught — identical vectors
+    share every bucket in every table."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    one = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.embedding_neardup_lsh(
+            emb, threshold=0.3, n_planes=6, n_tables=1).collect()
+    }
+    eight = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.embedding_neardup_lsh(
+            emb, threshold=0.3, n_planes=6, n_tables=8).collect()
+    }
+    assert set(one) <= set(eight)
+    for k, v in one.items():
+        assert abs(v - eight[k]) < 1e-12
+
+    planted = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") == 7).select(
+            F.lit(100000).cast("long").alias("vec_id"), "embedding"
+        )
+    )
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_neardup_lsh(
+            planted, threshold=0.999, n_planes=6, n_tables=8).collect()
+    }
+    assert (7, 100000) in pairs
+
+
 def test_connected_components_long_chain_converges(spark):
     """A planted 1000-link chain (the adversarial case for round-3's
     min-label propagation, which needed one round per hop) must converge
