@@ -228,6 +228,29 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build (or extend) the persisted fingerprint index a later curate
+    --dedup-index run dedups against: one row per distinct normalized-
+    text md5 (operators.dedup.fingerprint_index). With --merge, union an
+    existing index in — the snapshot-N+1 refresh."""
+    from .operators.dedup import fingerprint_index
+    from .plans.io import write_stage
+
+    spark = _spark(args.cores)
+    docs = spark.read.parquet(args.input)
+    if args.text_col != "text":
+        docs = docs.withColumnRenamed(args.text_col, "text")
+    idx = fingerprint_index(docs)
+    if args.merge:
+        idx = idx.union(
+            spark.read.parquet(args.merge).select("fingerprint")
+        ).distinct()
+    path = write_stage(idx, args.output, args.basename, "fingerprints")
+    n = spark.read.parquet(path).count()
+    print(json.dumps({"index": path, "fingerprints": n}))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """End-to-end corpus curation over a documents table — thin wrapper
     over plans/curate.curate_corpus (see its docstring for the gate
@@ -263,6 +286,12 @@ def cmd_curate(args) -> int:
         mix_rates=json.loads(args.mix_rates) if args.mix_rates else None,
         mix_salt=args.mix_salt,
         drop_perplexity_tail=args.perplexity_bucket,
+        quality_model=(spark.read.parquet(args.quality_model)
+                       if args.quality_model else None),
+        model_bias=args.model_bias,
+        model_threshold=args.model_threshold,
+        dedup_index=(spark.read.parquet(args.dedup_index)
+                     if args.dedup_index else None),
     )
     path = write_stage(out, args.output, args.basename, "curated")
     written = spark.read.parquet(path)
@@ -273,6 +302,7 @@ def cmd_curate(args) -> int:
         F.sum(F.col("quality_keep").cast("long")).alias("quality_pass"),
         F.sum(F.col("repetition_keep").cast("long")).alias("repetition_pass"),
         F.sum(F.col("perplexity_keep").cast("long")).alias("perplexity_pass"),
+        F.sum(F.col("classifier_keep").cast("long")).alias("classifier_pass"),
         F.sum((~F.col("is_duplicate")).cast("long")).alias("unique"),
         F.sum((~F.col("is_contaminated")).cast("long")).alias("clean"),
         F.sum(F.col("keep").cast("long")).alias("kept"),
@@ -335,6 +365,20 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser(
+        "index",
+        help="documents -> persisted fingerprint index (for curate "
+             "--dedup-index / incremental snapshot dedup)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--basename", default="doc")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--merge", default=None,
+                   help="existing index parquet to union in (refresh)")
+    p.add_argument("--cores", type=int, default=None)
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser(
         "curate",
         help="documents -> curated corpus (quality/repetition gates, "
              "dedup, decontamination, PII scrub, optional mix sample)",
@@ -364,6 +408,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="CCNet head/middle/tail gate: estimate tertile "
                         "cutoffs from the corpus (approx_percentile, per "
                         "lang when present) and drop the tail bucket")
+    p.add_argument("--quality-model", default=None,
+                   help="parquet (word, weight) linear quality model; "
+                        "docs scoring below --model-threshold are dropped")
+    p.add_argument("--model-bias", type=float, default=0.0)
+    p.add_argument("--model-threshold", type=float, default=0.5)
+    p.add_argument("--dedup-index", default=None,
+                   help="parquet fingerprint index of the prior corpus "
+                        "(see the index subcommand); docs already in it "
+                        "are dropped as duplicates")
     p.add_argument("--cores", type=int, default=None)
     p.set_defaults(fn=cmd_curate)
 

@@ -1279,7 +1279,7 @@ def q_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_pipeline(load_table(spark, sf_dir, "documents"))
 
 
-def _near_dup_oracle() -> str:
+def _near_dup_oracle(survivor: str = "min_id") -> str:
     rounds = ""
     for i in range(_CC_ROUNDS):
         rounds += f"""
@@ -1329,10 +1329,26 @@ def _near_dup_oracle() -> str:
   SELECT doc_b AS src, doc_a AS dst FROM verified
 ), l0 AS (
   SELECT doc_id, doc_id AS rep FROM documents
-)""" + rounds + f"""
-SELECT doc_id, rep AS canonical_id, rep < doc_id AS is_duplicate
+)""" + rounds + (
+        f"""
+SELECT doc_id, rep AS canonical_id, rep <> doc_id AS is_duplicate
 FROM l{_CC_ROUNDS}
 """
+        if survivor == "min_id"
+        else f"""
+, lens AS (
+  SELECT doc_id, LENGTH(COALESCE(text, '')) AS len FROM documents
+), fin AS (
+  SELECT l.doc_id,
+    FIRST_VALUE(l.doc_id) OVER (
+      PARTITION BY l.rep ORDER BY lens.len DESC, l.doc_id ASC
+    ) AS canonical_id
+  FROM l{_CC_ROUNDS} l JOIN lens ON lens.doc_id = l.doc_id
+)
+SELECT doc_id, canonical_id, doc_id <> canonical_id AS is_duplicate
+FROM fin
+"""
+    )
 
 
 # ------------------------------------------------- round-1 late additions
@@ -2769,3 +2785,194 @@ FROM per, s
 ORDER BY score DESC, doc_id
 LIMIT 20
 """
+
+
+# ------------------------------------------------- round-4 late additions
+# (all registered PAST driver slot 50: new surface must not displace the
+# curated gate rows — tools/compare_oracle.py checks them every session)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d15: SemDeDup-style embedding semantic dedup — d14's multi-table
+    LSH pairs at eps=0.30 (non-vacuous on the synthetic random vectors)
+    -> connected components -> min-vec_id survivor, every vec labeled."""
+    return similarity.semdedup(
+        load_table(spark, sf_dir, "embeddings"),
+        eps=0.30, n_planes=6, n_tables=8,
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d16: incremental exact dedup of a new crawl batch against the
+    fingerprint index of the prior corpus (even doc_ids). The synthetic
+    corpus has no exact duplicates, so the batch plants both failure
+    modes deterministically: odd docs (fresh), re-crawls of every
+    doc_id%10==0 doc re-keyed +100000 (index hits), and second copies
+    of every doc_id%10==5 doc re-keyed +200000 (within-batch dups of
+    their odd originals)."""
+    docs = load_table(spark, sf_dir, "documents")
+    prior = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    recrawl = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    batch_dup = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text")
+    new = odd.unionByName(recrawl).unionByName(batch_dup)
+    return dedup.incremental_dedup(new, dedup.fingerprint_index(prior))
+
+
+# the "trained model" for t15: a fixed (word, weight) table over corpus
+# vocabulary plus one never-seen word (pins the never-applied-weight
+# path); OOV corpus words score 0 through the LEFT join
+_T15_WEIGHTS = [
+    ("join", 0.9), ("hash", 0.4), ("slow", -1.3), ("batch", 0.2),
+    ("vector", -0.6), ("customer", 0.7), ("error", -2.0),
+    ("zzzunseen", 5.0),
+]
+
+
+def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t15: fastText-style linear quality-classifier inference with a
+    fixed weight table; zero-token docs score sigmoid(bias)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = spark.createDataFrame(_T15_WEIGHTS, "word string, weight double")
+    return text_analysis.linear_quality(docs, w, bias=-0.1)
+
+
+def q_near_dup_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d17: the d8 near-dup pipeline with the FineWeb-style survivor
+    policy — the longest doc per component is canonical, not the
+    smallest doc_id."""
+    return dedup.near_dup_pipeline(
+        load_table(spark, sf_dir, "documents"), survivor="longest"
+    )
+
+
+EXTRA_QUERIES["d15_semdedup"] = q_semdedup
+EXTRA_QUERIES["d16_incremental_dedup"] = q_incremental_dedup
+EXTRA_QUERIES["t15_quality_classifier"] = q_linear_quality
+EXTRA_QUERIES["d17_near_dup_longest"] = q_near_dup_longest
+
+# d15: d14's pair CTEs (materialized — the recursive closure references
+# the edge table many times and must not re-run the 48-plane projection),
+# then an exact TRANSITIVE CLOSURE via a recursive CTE instead of d8's
+# unrolled min-label propagation: at eps=0.30 the random-vector pair
+# graph at sf0.01 has a 211-node component of diameter 38 (measured),
+# far past any practical unroll. The closure is diameter-independent and
+# tiny at contract scale (<= sum of component sizes squared rows); the
+# Spark side's large/small-star reaches the same fixpoint in O(log n).
+EXTRA_ORACLES["d15_semdedup"] = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e
+), planes AS (
+  SELECT pp.p AS p,
+    LIST(CASE WHEN strpos('02468ace',
+                substr(md5('plane:' || pp.p || ':' || dd.d), 1, 1)) > 0
+         THEN 1.0 ELSE -1.0 END ORDER BY dd.d) AS pv
+  FROM generate_series(0, 47) AS pp(p), generate_series(0, 63) AS dd(d)
+  GROUP BY pp.p
+), pbits AS (
+  SELECT n.vec_id, planes.p,
+    CASE WHEN list_dot_product(n.v, planes.pv) >= 0 THEN '1' ELSE '0'
+    END AS bit
+  FROM n, planes
+), bkm AS (
+  SELECT vec_id, CAST(p // 6 AS BIGINT) AS table_idx,
+    STRING_AGG(bit, '' ORDER BY p) AS bucket
+  FROM pbits GROUP BY vec_id, p // 6
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bkm a JOIN bkm b
+    ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+    AND a.vec_id < b.vec_id
+), sims AS (
+  SELECT c.vec_a, c.vec_b,
+    list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cosine
+  FROM cand c
+  JOIN n na ON na.vec_id = c.vec_a
+  JOIN n nb ON nb.vec_id = c.vec_b
+), pairs AS MATERIALIZED (
+  SELECT vec_a, vec_b FROM sims WHERE cosine >= 0.30
+), edges AS MATERIALIZED (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+), reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, g.dst FROM reach r JOIN edges g ON g.src = r.b
+)
+SELECT em.vec_id,
+  LEAST(em.vec_id, COALESCE(MIN(r.b), em.vec_id)) AS canonical_id,
+  LEAST(em.vec_id, COALESCE(MIN(r.b), em.vec_id)) < em.vec_id
+    AS is_duplicate
+FROM embeddings em LEFT JOIN reach r ON r.a = em.vec_id
+GROUP BY em.vec_id
+"""
+
+EXTRA_ORACLES["d16_incremental_dedup"] = r"""
+WITH batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 5
+), fp AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')))
+      AS fingerprint
+  FROM batch
+), idx AS (
+  SELECT DISTINCT
+    md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')))
+      AS fingerprint
+  FROM documents WHERE doc_id % 2 = 0
+), grp AS (
+  SELECT fingerprint, MIN(doc_id) AS first_id FROM fp GROUP BY fingerprint
+)
+SELECT f.doc_id, f.fingerprint,
+  i.fingerprint IS NOT NULL AS in_index,
+  (i.fingerprint IS NOT NULL OR f.doc_id <> g.first_id) AS is_duplicate,
+  NOT (i.fingerprint IS NOT NULL OR f.doc_id <> g.first_id) AS keep
+FROM fp f
+JOIN grp g USING (fingerprint)
+LEFT JOIN idx i USING (fingerprint)
+"""
+
+_T15_VALUES = ", ".join(f"('{w}', {x})" for w, x in _T15_WEIGHTS)
+EXTRA_ORACLES["t15_quality_classifier"] = f"""
+WITH weights(word, weight) AS (VALUES {_T15_VALUES}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+), dw AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS m
+  FROM toks GROUP BY doc_id, word
+), ww AS (
+  SELECT dw.doc_id, dw.word, dw.m, COALESCE(w.weight, 0.0) AS w
+  FROM dw LEFT JOIN weights w USING (word)
+), pd AS (
+  -- deterministic sequential left-fold over word-sorted terms, mirroring
+  -- the Spark side's array_sort + F.aggregate exactly
+  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(list_sort(list({{'word': word, 'w': w, 'm': m}})),
+                       p -> CAST(p.m AS DOUBLE) * p.w)),
+      (acc, x) -> acc + x) AS sum_w
+  FROM ww GROUP BY doc_id
+), sc AS (
+  SELECT d.doc_id,
+    COALESCE(pd.n_tokens, 0) AS n_tokens,
+    COALESCE(-0.1 + pd.sum_w / pd.n_tokens, -0.1) AS z
+  FROM documents d LEFT JOIN pd USING (doc_id)
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(1.0 / (1.0 + exp(-z)), 4) AS score,
+  round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS label
+FROM sc
+"""
+
+EXTRA_ORACLES["d17_near_dup_longest"] = _near_dup_oracle(survivor="longest")

@@ -332,7 +332,8 @@ def connected_components(edges: DataFrame, max_iter: int = 15,
 def near_dup_pipeline(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
                       k: int = 3, threshold: float = 0.5,
                       max_df: int | None = 1000,
-                      max_cc_iter: int = 15) -> DataFrame:
+                      max_cc_iter: int = 15,
+                      survivor: str = "min_id") -> DataFrame:
     """The composed near-dup SCALE PATH (VERDICT r2 #5: make the capped-
     Jaccard guidance executable): LSH band candidates -> exact Jaccard
     verify restricted to candidate pairs (df-capped: shingles in more than
@@ -349,7 +350,14 @@ def near_dup_pipeline(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
     table, never the corpus.
     Everything upstream is candidate-bounded: the Jaccard join fans each
     candidate pair out by one side's capped shingles only.
+
+    ``survivor`` picks the kept doc per component: "min_id" (default —
+    the CC label itself) or "longest" (FineWeb-style: the doc with the
+    longest raw text survives, ties to the smaller doc_id; one extra
+    component-keyed aggregate + join, both edge-table-sized).
     """
+    if survivor not in ("min_id", "longest"):
+        raise ValueError(f"unknown survivor policy: {survivor!r}")
     cands = lsh_candidate_pairs(docs, num_hashes, band_size, k)
     sh = doc_shingles(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -389,9 +397,23 @@ def near_dup_pipeline(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
         )
         .select("doc_id", F.coalesce("_c", "doc_id").alias("canonical_id"))
     )
+    if survivor == "longest":
+        lens = docs.select(
+            "doc_id",
+            F.length(F.coalesce(F.col("text"), F.lit(""))).alias("_len"),
+        )
+        lab = labels.join(lens, "doc_id")
+        best = lab.groupBy("canonical_id").agg(
+            F.max_by(
+                F.col("doc_id"), F.struct(F.col("_len"), -F.col("doc_id"))
+            ).alias("_best")
+        )
+        labels = lab.join(best, "canonical_id").select(
+            "doc_id", F.col("_best").alias("canonical_id")
+        )
     return labels.select(
         "doc_id", "canonical_id",
-        (F.col("canonical_id") < F.col("doc_id")).alias("is_duplicate"),
+        (F.col("canonical_id") != F.col("doc_id")).alias("is_duplicate"),
     )
 
 
@@ -692,3 +714,61 @@ def duplicate_span_stats(docs: DataFrame, span_words: int = 20,
             ).alias("dup_token_frac"),
         )
     )
+
+
+def fingerprint_index(docs: DataFrame) -> DataFrame:
+    """The persisted dedup index of a corpus: one row per DISTINCT
+    normalized-text md5 fingerprint (null text as empty, matching
+    exact_duplicates). This is the artifact a continuous ingestion
+    pipeline writes after each crawl snapshot and reads back to dedup
+    the next one against (CommonCrawl-style snapshot N+1 vs 0..N) —
+    fingerprints only, never text, so the index is tiny relative to the
+    corpus and partitions uniformly on the hash."""
+    return docs.select(
+        F.md5(_norm(F.coalesce(F.col("text"), F.lit("")))).alias("fingerprint")
+    ).distinct()
+
+
+def incremental_dedup(new_docs: DataFrame, index: DataFrame) -> DataFrame:
+    """Exact dedup of a NEW batch against a prior corpus
+    ``fingerprint_index`` plus first-wins dedup WITHIN the batch — the
+    incremental form of exact_duplicates for continuous ingestion,
+    where re-fingerprinting the historical corpus every snapshot would
+    be a full re-read of everything ever crawled.
+
+    Per new doc: (doc_id, fingerprint, in_index, is_duplicate, keep).
+    ``in_index``: fingerprint already in the prior index; ``is_duplicate``:
+    in_index OR a smaller doc_id in THIS batch shares the fingerprint;
+    ``keep`` = NOT is_duplicate. Kept docs' fingerprints are what the
+    caller appends to the index for the next snapshot (union +
+    distinct — or simply this batch's fingerprint_index, since both
+    sides are already hash-distinct).
+
+    Shape at scale: one uniform fingerprint-keyed equi-join against the
+    index (left join to a 1-column table — AQE broadcasts it when a
+    small snapshot meets a small index, shuffles both sides otherwise)
+    plus the same groupBy/join-back as exact_duplicates within the
+    batch. Text never shuffles; million-doc identical groups absorb
+    map-side exactly as in exact_duplicates.
+    """
+    fp = new_docs.select(
+        "doc_id",
+        F.md5(_norm(F.coalesce(F.col("text"), F.lit("")))).alias("fingerprint"),
+    )
+    idx = index.select("fingerprint").distinct().withColumn(
+        "_in_index", F.lit(True)
+    )
+    grp = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("_first_id"))
+    out = (
+        fp.join(grp, "fingerprint")
+        .join(idx, "fingerprint", "left")
+        .select(
+            "doc_id", "fingerprint",
+            F.coalesce("_in_index", F.lit(False)).alias("in_index"),
+            (
+                F.coalesce("_in_index", F.lit(False))
+                | (F.col("doc_id") != F.col("_first_id"))
+            ).alias("is_duplicate"),
+        )
+    )
+    return out.withColumn("keep", ~F.col("is_duplicate"))

@@ -451,3 +451,60 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20,
         F.round(score, round_dp).alias("score"),
     )
     return out.orderBy(F.desc("score"), "doc_id").limit(k)
+
+
+def semdedup(emb: DataFrame, eps: float = 0.9, n_planes: int = 6,
+             n_tables: int = 8, n_dims: int | None = None,
+             max_cc_iter: int = 15) -> DataFrame:
+    """SemDeDup-style embedding-level semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): partition the embedding space,
+    find within-partition pairs with cosine >= ``eps``, and keep ONE
+    survivor per connected near-dup group.
+
+    Two deliberate departures from the paper, both for determinism:
+    the space partitioner is the multi-table md5-parity hyperplane LSH
+    (``hyperplane_buckets_tables``) instead of k-means — same role
+    (restrict the pair search), but bit-reproducible and replayable by
+    the DuckDB oracle, and OR-amplified so a near-dup pair split by one
+    partitioning is caught by another (k-means SemDeDup misses pairs
+    that straddle a cluster boundary); the survivor is the component's
+    MINIMUM vec_id via connected_components (O(log n) edge-table
+    rounds) rather than the farthest-from-centroid choice, which has no
+    stable definition without the centroids.
+
+    Returns every vec_id with (canonical_id, is_duplicate) — the same
+    contract as near_dup_pipeline, so downstream keep/drop wiring is
+    shared.
+
+    Shape at scale: pair generation is the d14 bucketed equi-join (no
+    cross product, pair-deduped before the cosine verify), CC shuffles
+    only the near-dup EDGE table, and the final label join-back is
+    vec_id-keyed. Vectors never shuffle after the map-side bucket
+    projection.
+    """
+    from .dedup import connected_components
+
+    pairs = embedding_neardup_lsh(
+        emb, threshold=eps, n_planes=n_planes, n_tables=n_tables,
+        n_dims=n_dims,
+    )
+    comp = connected_components(
+        pairs.select("vec_a", "vec_b"), max_iter=max_cc_iter,
+        a_col="vec_a", b_col="vec_b",
+    )
+    labels = (
+        emb.select("vec_id")
+        .join(
+            comp.select(
+                F.col("node").alias("vec_id"),
+                F.col("component").alias("_c"),
+            ),
+            "vec_id",
+            "left",
+        )
+        .select("vec_id", F.coalesce("_c", "vec_id").alias("canonical_id"))
+    )
+    return labels.select(
+        "vec_id", "canonical_id",
+        (F.col("canonical_id") < F.col("vec_id")).alias("is_duplicate"),
+    )

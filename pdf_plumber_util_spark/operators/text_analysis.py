@@ -544,3 +544,68 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
         round_dp,
     )
     return scored.select("doc_id", "n_tokens", log_w.alias("log_weight"))
+
+
+def linear_quality(docs: DataFrame, weights: DataFrame, bias: float = 0.0,
+                   text_col: str = "text", round_dp: int = 4) -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE (Joulin et al.
+    2017, arXiv:1607.01759 — the shape of the CCNet/LLaMA "looks like
+    Wikipedia" filter and FineWeb-Edu's scorer): a document's score is
+    sigmoid(bias + mean over tokens of the token's learned weight).
+    Training happens offline on labeled data; what runs over 100 TB is
+    this scoring pass, so that's the operator.
+
+    ``weights`` is a (word, weight) DataFrame — the trained model.
+    OOV tokens contribute weight 0 (LEFT join, coalesce). Zero-token
+    documents still score (sigmoid(bias)) so the downstream gate sees
+    every doc, unlike lm_perplexity, which has nothing to score.
+
+    Determinism: per-doc token weights fold over an array SORTED by
+    word — the same sequential left-fold the DuckDB oracle performs —
+    so the float sum is independent of row order and partitioning;
+    scores round to ``round_dp``.
+
+    Shape at scale: one text-sized exchange to the (doc_id, word)
+    partial aggregate, a word-keyed equi-join against the model (NOT
+    broadcast by hand — a hashed-bigram fastText model is millions of
+    rows; AQE broadcasts it when it truly is small), then one doc-keyed
+    aggregate. No UDF, no collect, no global sort.
+    """
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit("[a-z0-9]+"), 0)
+        ).alias("word"),
+    )
+    dw = words.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("m"))
+    ww = dw.join(
+        weights.select("word", "weight"), "word", "left"
+    ).select(
+        "doc_id", "word", "m",
+        F.coalesce("weight", F.lit(0.0)).alias("w"),
+    )
+    per_doc = ww.groupBy("doc_id").agg(
+        F.sum("m").alias("n_tokens"),
+        F.collect_list(F.struct("word", "w", "m")).alias("_wm"),
+    )
+    sum_w = F.aggregate(
+        F.expr("transform(array_sort(_wm), p -> p.m * p.w)"),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = per_doc.select(
+        "doc_id", "n_tokens",
+        (F.lit(float(bias)) + sum_w / F.col("n_tokens")).alias("_z"),
+    )
+    out = docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("_z", F.lit(float(bias))).alias("_z"),
+    )
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z"))),
+                round_dp).alias("score"),
+    ).withColumn("label", F.col("score") >= 0.5)

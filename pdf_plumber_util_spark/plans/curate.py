@@ -21,12 +21,19 @@ span-hash groupBy when the span gate is on, the (doc, word) explode of
 the perplexity gate, and the broadcast eval n-grams:
 
   repetition_keep   Gopher repetition gates (text_analysis)
-  is_duplicate      exact dedup, first occurrence survives
+  is_duplicate      exact dedup, first occurrence survives; with
+                    ``dedup_index`` ALSO true for docs whose fingerprint
+                    is in the prior corpus index (incremental_dedup
+                    semantics — continuous-ingestion snapshots)
   span_keep         optional ExactSubstr duplicate-span coverage gate
   perplexity_keep   optional CCNet head/middle gate (drop the tail
                     tertile under corpus-estimated approx_percentile
                     cutoffs; text_analysis.lm_perplexity +
                     perplexity_cutoffs + perplexity_bucket)
+  classifier_keep   optional fastText-style linear quality classifier
+                    (text_analysis.linear_quality scored against a
+                    trained (word, weight) model table — the
+                    FineWeb-Edu / CCNet-wikiref gate shape)
   is_contaminated   optional benchmark decontamination (broadcast evals)
 
 Output: one row per input doc — (doc_id, keep, per-gate flags,
@@ -52,7 +59,11 @@ def curate_corpus(docs: DataFrame, *, min_words: int = 50,
                   span_words: int = 20, span_stride: int = 5,
                   mix_rates: dict[str, float] | None = None,
                   mix_salt: str = "mix1",
-                  drop_perplexity_tail: bool = False) -> DataFrame:
+                  drop_perplexity_tail: bool = False,
+                  quality_model: DataFrame | None = None,
+                  model_bias: float = 0.0,
+                  model_threshold: float = 0.5,
+                  dedup_index: DataFrame | None = None) -> DataFrame:
     from ..operators.dedup import decontaminate, exact_duplicates
     from ..operators.text_analysis import repetition_stats
     from ..operators.webtext import (
@@ -103,7 +114,16 @@ def curate_corpus(docs: DataFrame, *, min_words: int = 50,
     repetition = repetition_stats(docs).select(
         "doc_id", F.col("keep").alias("repetition_keep")
     )
-    dup = exact_duplicates(docs).select("doc_id", "is_duplicate")
+    if dedup_index is not None:
+        # incremental snapshot semantics: prior-corpus membership counts
+        # as duplication alongside within-batch first-wins
+        from ..operators.dedup import incremental_dedup
+
+        dup = incremental_dedup(docs, dedup_index).select(
+            "doc_id", "is_duplicate"
+        )
+    else:
+        dup = exact_duplicates(docs).select("doc_id", "is_duplicate")
     span_keep = None
     if max_dup_span_frac is not None:
         from ..operators.dedup import duplicate_span_stats
@@ -167,6 +187,20 @@ def curate_corpus(docs: DataFrame, *, min_words: int = 50,
         )
     else:
         flags = flags.withColumn("perplexity_keep", F.lit(True))
+    if quality_model is not None:
+        from ..operators.text_analysis import linear_quality
+
+        clf = linear_quality(docs, quality_model, bias=model_bias).select(
+            "doc_id",
+            (F.col("score") >= model_threshold).alias("classifier_keep"),
+        )
+        # linear_quality scores EVERY doc (zero-token docs score
+        # sigmoid(bias)); the coalesce is belt-and-braces like the others
+        flags = flags.join(clf, "doc_id", "left").withColumn(
+            "classifier_keep", F.coalesce("classifier_keep", F.lit(True))
+        )
+    else:
+        flags = flags.withColumn("classifier_keep", F.lit(True))
     if eval_docs is not None:
         cont = decontaminate(docs, eval_docs, n=decontaminate_ngram).select(
             "doc_id", "is_contaminated"
@@ -182,6 +216,7 @@ def curate_corpus(docs: DataFrame, *, min_words: int = 50,
         & F.col("quality_keep")
         & F.col("repetition_keep")
         & F.col("perplexity_keep")
+        & F.col("classifier_keep")
         & ~F.col("is_duplicate")
         & ~F.col("is_contaminated")
         & F.col("_mix_keep")
@@ -189,7 +224,7 @@ def curate_corpus(docs: DataFrame, *, min_words: int = 50,
     return flags.select(
         "doc_id", keep.alias("keep"), "domain_keep", "span_keep",
         "quality_keep", "repetition_keep", "perplexity_keep",
-        "is_duplicate", "is_contaminated",
+        "classifier_keep", "is_duplicate", "is_contaminated",
         F.col("_scrubbed_text").alias("text"),
         F.col("_n_pii").alias("n_pii_redactions"),
     )

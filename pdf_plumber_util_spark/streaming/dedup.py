@@ -51,3 +51,39 @@ def dedup_stream(docs: DataFrame, ts_col: str = "ts",
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
+
+
+def dedup_stream_against_index(docs: DataFrame, index: DataFrame,
+                               ts_col: str = "ts",
+                               text_col: str = "text",
+                               watermark: str = "24 hours") -> DataFrame:
+    """Streaming twin of operators.dedup.incremental_dedup: drop arriving
+    docs whose fingerprint is already in a PRIOR corpus index (a static
+    (fingerprint) table — operators.dedup.fingerprint_index output read
+    from parquet), then first-arrival-wins within the stream's watermark
+    horizon.
+
+    The index probe is a stream-static LEFT ANTI join — Spark executes it
+    per micro-batch against the static side with no streaming state, so
+    the historical corpus costs zero state-store memory; only the
+    within-horizon fingerprints live in state (same bound as
+    dedup_stream). The static side is hash-partitioned on the same md5
+    key; AQE broadcasts it when small.
+
+    Batch parity: a doc dropped here is exactly one incremental_dedup
+    would flag (in_index via the same fingerprint definition, nulls as
+    empty; within-batch first-wins approximated by first-arrival within
+    the watermark — re-crawls farther apart than the horizon are mopped
+    up by the next index refresh, as in dedup_stream).
+    """
+    d = docs.withColumn(
+        "fingerprint", F.md5(_norm(F.coalesce(F.col(text_col), F.lit(""))))
+    )
+    fresh = d.join(
+        index.select("fingerprint").distinct(), "fingerprint", "left_anti"
+    )
+    return (
+        fresh.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )

@@ -188,3 +188,72 @@ def test_cli_curate_perplexity_bucket(spark, tmp_path, capsys):
         assert rows[i].perplexity_keep
     for i in (7, 8, 9):
         assert not rows[i].perplexity_keep and not rows[i].keep
+
+
+def test_cli_curate_quality_model(spark, tmp_path, capsys):
+    """--quality-model: the fastText-style linear classifier gate drops
+    docs scoring below the threshold; every other doc passes."""
+    docs_path = str(tmp_path / "docs_qm")
+    good = "signal " * 8   # weight +1 per token -> sigmoid(1) ~ 0.73
+    bad = "noise " * 8     # weight -1 per token -> sigmoid(-1) ~ 0.27
+    spark.createDataFrame(
+        [(1, good), (2, bad), (3, "neutral words only here " * 2)],
+        "doc_id long, text string",
+    ).write.parquet(docs_path)
+    model_path = str(tmp_path / "model_qm")
+    spark.createDataFrame(
+        [("signal", 1.0), ("noise", -1.0)], "word string, weight double"
+    ).write.parquet(model_path)
+    out = str(tmp_path / "outq")
+    assert cli.main(["curate", "--input", docs_path, "--output", out,
+                     "--basename", "qm", "--min-words", "5",
+                     "--quality-model", model_path, "--cores", "4"]) == 0
+    funnel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert funnel["docs"] == 3 and funnel["classifier_pass"] == 2
+    rows = {r.doc_id: r for r in
+            spark.read.parquet(funnel["curated"]).collect()}
+    assert rows[1].classifier_keep
+    assert not rows[2].classifier_keep and not rows[2].keep
+    assert rows[3].classifier_keep  # all-OOV doc scores sigmoid(0) = 0.5
+
+
+def test_cli_index_then_curate_dedup_index(spark, tmp_path, capsys):
+    """index -> curate --dedup-index: the snapshot-N+1 flow. Docs whose
+    fingerprint is in the prior index are dropped as duplicates; --merge
+    extends an index idempotently."""
+    prior_path = str(tmp_path / "prior_docs")
+    spark.createDataFrame(
+        [(100, "seen before page " * 3), (101, "other old page " * 3)],
+        "doc_id long, text string",
+    ).write.parquet(prior_path)
+    out = str(tmp_path / "outix")
+    assert cli.main(["index", "--input", prior_path, "--output", out,
+                     "--basename", "snap0", "--cores", "4"]) == 0
+    ix = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ix["fingerprints"] == 2
+
+    new_path = str(tmp_path / "new_docs")
+    spark.createDataFrame(
+        [(1, "SEEN  before page " * 3),        # normalizes into the index
+         (2, "genuinely new content here " * 3),
+         (3, "genuinely new content here " * 3)],  # within-batch dup of 2
+        "doc_id long, text string",
+    ).write.parquet(new_path)
+    assert cli.main(["curate", "--input", new_path, "--output", out,
+                     "--basename", "snap1", "--min-words", "3",
+                     "--dedup-index", ix["index"], "--cores", "4"]) == 0
+    funnel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert funnel["docs"] == 3 and funnel["unique"] == 1
+    rows = {r.doc_id: r for r in
+            spark.read.parquet(funnel["curated"]).collect()}
+    assert rows[1].is_duplicate and rows[3].is_duplicate
+    assert not rows[2].is_duplicate
+
+    # --merge refresh: index now also covers the kept new doc
+    assert cli.main(["index", "--input", new_path, "--output", out,
+                     "--basename", "snap1ix", "--merge", ix["index"],
+                     "--cores", "4"]) == 0
+    ix2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 2 prior + 1 genuinely new; the re-crawled page and the within-batch
+    # dup collapse into existing fingerprints
+    assert ix2["fingerprints"] == 3

@@ -437,10 +437,12 @@ def test_curate_funnel_plan_is_all_hash_partitioned(spark):
     )
     ev = spark.createDataFrame(
         [(100, "eval bench text " * 5)], "doc_id long, text string")
+    model = spark.createDataFrame(
+        [("alpha", 1.0), ("beta", -0.5)], "word string, weight double")
     out = curate_corpus(
         docs, min_words=5, eval_docs=ev, block_domains=["ads.net"],
         max_dup_span_frac=0.5, mix_rates={"en": 0.5},
-        drop_perplexity_tail=True,
+        drop_perplexity_tail=True, quality_model=model,
     )
     plan = _plan(out)
     assert "CartesianProduct" not in plan, plan[:2000]

@@ -203,3 +203,56 @@ def test_dedup_stream_parity(spark, tmp_path):
         assert by_id[r.doc_id][2] == r.text
     # the unique docs always survive
     assert {3, 5} <= {r.doc_id for r in got}
+
+
+def test_dedup_stream_against_index_parity(spark, tmp_path):
+    """Stream-static index dedup: docs whose fingerprint is in the prior
+    index never emit (zero streaming state for history), fresh docs
+    dedup first-arrival-wins within the stream — exactly the rows batch
+    incremental_dedup keeps."""
+    from pdf_plumber_util_spark.operators.dedup import (
+        fingerprint_index,
+        incremental_dedup,
+    )
+    from pdf_plumber_util_spark.streaming.dedup import (
+        dedup_stream_against_index,
+    )
+    from pdf_plumber_util_spark.streaming.events import run_stream_once
+
+    prior = spark.createDataFrame(
+        [(100, "already crawled page"), (101, "another old page")],
+        "doc_id long, text string",
+    )
+    idx = fingerprint_index(prior)
+
+    src = str(tmp_path / "docs_inc_stream")
+    rows = [
+        (1, "2026-01-01 00:00:00", "ALREADY  crawled page"),  # in index
+        (2, "2026-01-01 00:10:00", "a brand new page"),
+        (3, "2026-01-01 00:20:00", "a brand new page"),       # stream dup of 2
+        (4, "2026-01-01 00:30:00", "fresh unique content"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, ts string, text string"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = dedup_stream_against_index(
+        spark.readStream.schema(schema).parquet(src), idx
+    )
+    got = run_stream_once(stream, out_mode="append")
+    # the indexed re-crawl (doc 1) never emits; exactly one of the
+    # within-stream dup pair {2, 3} survives (which one is micro-batch
+    # processing order, not pinned); the unique doc always passes
+    ids = sorted(r.doc_id for r in got)
+    assert len(ids) == 2 and 4 in ids and (set(ids) & {2, 3})
+    assert 1 not in ids
+
+    # batch parity at the GROUP level: the stream survives exactly one
+    # doc per fingerprint group that batch incremental_dedup keeps
+    batch = spark.createDataFrame(
+        [(i, t) for i, _, t in rows], "doc_id long, text string"
+    )
+    kept = incremental_dedup(batch, idx).filter("keep")
+    kept_fps = {r.fingerprint for r in kept.collect()}
+    assert sorted(r.fingerprint for r in got) == sorted(kept_fps)

@@ -839,3 +839,110 @@ def test_bm25_topk_hand_computed(spark):
 
     for r in got:
         assert r.score == score(r.doc_id), (r.doc_id, r.score, score(r.doc_id))
+
+
+# ------------------------------------------------- round-4 late additions
+
+
+def test_semdedup_planted_duplicate(spark, sf_dir):
+    """d15 path: a planted identical vector is always deduped (identical
+    vectors share every bucket in every table), the canonical is the
+    component minimum, and every input vec appears exactly once."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    planted = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") == 11).select(
+            F.lit(99999).cast("long").alias("vec_id"), "embedding"
+        )
+    )
+    out = similarity.semdedup(planted, eps=0.999, n_planes=6, n_tables=8).toPandas()
+    assert len(out) == 151
+    assert out["vec_id"].is_unique
+    row = out.set_index("vec_id").loc[99999]
+    assert row["canonical_id"] == 11 and bool(row["is_duplicate"])
+    orig = out.set_index("vec_id").loc[11]
+    assert orig["canonical_id"] == 11 and not bool(orig["is_duplicate"])
+    # non-duplicates label themselves
+    kept = out[~out["is_duplicate"]]
+    assert (kept["canonical_id"] == kept["vec_id"]).all()
+
+
+def test_incremental_dedup_planted(spark):
+    from pdf_plumber_util_spark.operators import dedup
+
+    prior = spark.createDataFrame(
+        [(0, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (11, "Alpha  beta"),   # normalizes to an indexed fingerprint
+            (13, "delta"),         # fresh, first in batch
+            (15, "delta"),         # within-batch duplicate of 13
+            (17, None),            # null text: fresh empty fingerprint
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.incremental_dedup(new, dedup.fingerprint_index(prior)).collect()
+    }
+    assert out[11].in_index and out[11].is_duplicate and not out[11].keep
+    assert not out[13].in_index and not out[13].is_duplicate and out[13].keep
+    assert not out[15].in_index and out[15].is_duplicate and not out[15].keep
+    assert not out[17].in_index and out[17].keep
+    # appending the kept docs' fingerprints makes the next batch's rerun
+    # flag EVERYTHING as indexed (idempotent re-ingestion)
+    kept = new.filter(F.col("doc_id").isin([13, 17]))
+    idx2 = dedup.fingerprint_index(prior).union(
+        dedup.fingerprint_index(kept)
+    ).distinct()
+    rerun = dedup.incremental_dedup(new, idx2)
+    assert rerun.filter(~F.col("in_index")).count() == 0
+
+
+def test_linear_quality_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "nothing known here"), (3, "")],
+        "doc_id long, text string",
+    )
+    w = spark.createDataFrame(
+        [("good", 1.0), ("bad", -2.0)], "word string, weight double"
+    )
+    out = {r.doc_id: r for r in
+           text_analysis.linear_quality(docs, w, bias=0.5).collect()}
+    z1 = 0.5 + (2 * 1.0 + 1 * -2.0) / 3
+    assert out[1].n_tokens == 3
+    assert abs(out[1].score - round(1 / (1 + math.exp(-z1)), 4)) < 1e-12
+    assert out[1].label
+    z2 = 0.5  # all OOV: mean weight 0
+    assert abs(out[2].score - round(1 / (1 + math.exp(-z2)), 4)) < 1e-12
+    assert out[3].n_tokens == 0  # zero-token doc still scores sigmoid(bias)
+    assert abs(out[3].score - round(1 / (1 + math.exp(-0.5)), 4)) < 1e-12
+
+
+def test_near_dup_longest_survivor(spark):
+    from pdf_plumber_util_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    docs = spark.createDataFrame(
+        [
+            (1, base),                          # near-dup, shorter
+            (9, base + "extra tail words here"),  # near-dup, LONGEST, higher id
+            (5, "completely different content with many unique tokens " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    # band_size=1: a candidate fires on ANY shared minhash, so the
+    # planted pair (Jaccard ~= 0.67) cannot be missed by band luck
+    out = {r.doc_id: r for r in
+           dedup.near_dup_pipeline(docs, band_size=1,
+                                   survivor="longest").collect()}
+    assert out[9].canonical_id == 9 and not out[9].is_duplicate
+    assert out[1].canonical_id == 9 and out[1].is_duplicate
+    assert out[5].canonical_id == 5 and not out[5].is_duplicate
+    # default policy on the same input keeps the min id
+    out_min = {r.doc_id: r for r in
+               dedup.near_dup_pipeline(docs, band_size=1).collect()}
+    assert out_min[1].canonical_id == 1 and not out_min[1].is_duplicate
+    assert out_min[9].canonical_id == 1 and out_min[9].is_duplicate
