@@ -2976,3 +2976,91 @@ FROM sc
 """
 
 EXTRA_ORACLES["d17_near_dup_longest"] = _near_dup_oracle(survivor="longest")
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """u5: within-doc repeated-line collapse. The synthetic docs are
+    single-line, so the query plants page furniture deterministically:
+    a nav line wrapped around two body slices (3 copies -> 2 removed)."""
+    from .operators.webtext import dedup_lines_within_doc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("nav menu home about"),
+            F.substring("text", 1, 100),
+            F.lit("nav menu home about"),
+            F.substring("text", 101, 100),
+            F.lit("nav menu home about"),
+        ).alias("text"),
+    )
+    return dedup_lines_within_doc(docs)
+
+
+def q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t16: per-word KL contributions between the even-doc and odd-doc
+    halves of the corpus (the snapshot-drift monitor)."""
+    from .operators.webtext import vocab_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_divergence(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+EXTRA_QUERIES["u5_line_dedup"] = q_line_dedup
+EXTRA_QUERIES["t16_vocab_divergence"] = q_vocab_divergence
+
+EXTRA_ORACLES["u5_line_dedup"] = r"""
+WITH built AS (
+  SELECT doc_id,
+    'nav menu home about' || chr(10) || substr(text, 1, 100) || chr(10)
+      || 'nav menu home about' || chr(10) || substr(text, 101, 100)
+      || chr(10) || 'nav menu home about' AS text
+  FROM documents
+), split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM built
+), lines AS (
+  SELECT doc_id, u.l.line AS line, u.l.pos - 1 AS pos
+  FROM split,
+    unnest(list_transform(ls, (x, i) -> {'line': x, 'pos': i})) AS u(l)
+), firsts AS (
+  SELECT doc_id, line, MIN(pos) AS pos,
+    CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM lines GROUP BY doc_id, line
+)
+SELECT doc_id,
+  STRING_AGG(line, chr(10) ORDER BY pos) AS text,
+  CAST(SUM(n_copies) AS BIGINT) AS n_lines,
+  CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_lines_removed
+FROM firsts GROUP BY doc_id
+"""
+
+EXTRA_ORACLES["t16_vocab_divergence"] = r"""
+WITH ta AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents WHERE doc_id % 2 = 0
+), tb AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents WHERE doc_id % 2 = 1
+), ca AS (SELECT word, CAST(COUNT(*) AS BIGINT) c_a FROM ta GROUP BY word),
+cb AS (SELECT word, CAST(COUNT(*) AS BIGINT) c_b FROM tb GROUP BY word),
+j AS (
+  SELECT COALESCE(ca.word, cb.word) AS word,
+    COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+  FROM ca FULL OUTER JOIN cb USING (word)
+), t AS (
+  SELECT CAST(SUM(c_a) AS BIGINT) n_a, CAST(SUM(c_b) AS BIGINT) n_b,
+    CAST(COUNT(*) AS BIGINT) v
+  FROM j
+)
+SELECT word, c_a, c_b,
+  round((c_a + 1) / CAST(n_a + v AS DOUBLE), 6) AS p,
+  round((c_b + 1) / CAST(n_b + v AS DOUBLE), 6) AS q,
+  round(((c_a + 1) / CAST(n_a + v AS DOUBLE))
+        * ln(((c_a + 1) / CAST(n_a + v AS DOUBLE))
+             / ((c_b + 1) / CAST(n_b + v AS DOUBLE))), 6) AS kl_term
+FROM j, t
+"""

@@ -805,3 +805,109 @@ def gopher_line_rules(docs: DataFrame, text_col: str = "text",
             & (symbol_ratio <= max_symbol_ratio)
         ).alias("keep"),
     )
+
+
+def dedup_lines_within_doc(docs: DataFrame,
+                           text_col: str = "text") -> DataFrame:
+    """Within-document repeated-line collapse (the Dolma/C4-family rule
+    that strips per-page boilerplate a cross-corpus dedup cannot see:
+    nav menus, cookie banners, footers repeated INSIDE one concatenated
+    page). Keeps the FIRST occurrence of each exact line, preserves
+    order otherwise, drops later copies.
+
+    Per doc: (doc_id, text [deduped], n_lines, n_lines_removed).
+    Null text behaves like empty text — split('') is one empty line, so
+    such docs report n_lines=1, n_lines_removed=0, text ''.
+
+    Shape at scale: one text-sized exchange to (doc_id, line) for the
+    min-position aggregate, then a doc-keyed re-assembly whose
+    collect_list is bounded by the doc's own line count (the same
+    per-doc bound as the flagship body assembly). This is linear in
+    text size; the map-side HOF alternative (array_position per line)
+    is O(lines^2) per doc and dies on the giant docs that need this
+    rule most.
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    )
+    firsts = lines.groupBy("doc_id", "line").agg(
+        F.min("pos").alias("pos"), F.count("*").cast("long").alias("n_copies")
+    )
+    per_doc = firsts.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+        F.sum("n_copies").cast("long").alias("n_lines"),
+        (F.sum("n_copies") - F.count("*")).cast("long")
+        .alias("n_lines_removed"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce("n_lines_removed", F.lit(0)).cast("long")
+        .alias("n_lines_removed"),
+    )
+
+
+def vocab_divergence(docs_a: DataFrame, docs_b: DataFrame,
+                     text_col: str = "text",
+                     round_dp: int = 6) -> DataFrame:
+    """Per-word KL-divergence contributions between two corpora's
+    unigram distributions — the drift/mix monitor a continuous pipeline
+    runs between crawl snapshots or between a candidate mix and a
+    reference corpus (the DSIR/CCNet family's diagnostic twin: same
+    token model, corpus-vs-corpus instead of doc-vs-corpus).
+
+    Add-one smoothing over the UNION vocabulary so either side's unseen
+    words stay finite:  p_w = (c_a(w)+1) / (N_a+V),  q_w likewise, and
+    kl_term = p_w * ln(p_w / q_w);  KL(P||Q) = sum of kl_term (consumers
+    sum it — per-word rows keep the hot words inspectable, which is the
+    point of a drift monitor).
+
+    Per-word arithmetic is scalar and independent (no float fold), so
+    determinism needs only the rounding. One text-sized exchange per
+    corpus to word counts, a word-keyed full outer join, two broadcast
+    single-row totals. No UDF, no collect.
+    """
+
+    def counts(d: DataFrame) -> DataFrame:
+        return (
+            d.select(
+                F.explode(
+                    F.regexp_extract_all(F.lower(F.col(text_col)),
+                                         F.lit("[a-z0-9]+"), 0)
+                ).alias("word")
+            )
+            .groupBy("word")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+
+    ca = counts(docs_a).withColumnRenamed("c", "c_a")
+    cb = counts(docs_b).withColumnRenamed("c", "c_b")
+    joined = ca.join(cb, "word", "full_outer").select(
+        "word",
+        F.coalesce("c_a", F.lit(0)).alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).alias("c_b"),
+    )
+    totals = joined.agg(
+        F.sum("c_a").alias("_n_a"),
+        F.sum("c_b").alias("_n_b"),
+        F.count("*").cast("long").alias("_v"),
+    )
+    scored = joined.crossJoin(F.broadcast(totals))
+    p = (F.col("c_a") + 1) / (F.col("_n_a") + F.col("_v"))
+    q = (F.col("c_b") + 1) / (F.col("_n_b") + F.col("_v"))
+    return scored.select(
+        "word", "c_a", "c_b",
+        F.round(p, round_dp).alias("p"),
+        F.round(q, round_dp).alias("q"),
+        F.round(p * F.log(p / q), round_dp).alias("kl_term"),
+    )

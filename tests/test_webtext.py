@@ -391,3 +391,48 @@ def test_gopher_line_rules_each_rule_fires(spark):
     assert out[4].keep and out[4].bullet_line_frac == 1 / 3
     # a line starting with '-' counts as a bullet; 1/2 <= 0.9 still keeps
     assert out[5].keep and out[5].bullet_line_frac == 0.5
+
+
+def test_dedup_lines_within_doc(spark):
+    from pdf_plumber_util_spark.operators.webtext import (
+        dedup_lines_within_doc,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav\nbody one\nnav\nbody two\nnav"),
+            (2, "all\nunique\nlines"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lines_within_doc(docs).collect()}
+    assert out[1].text == "nav\nbody one\nbody two"
+    assert out[1].n_lines == 5 and out[1].n_lines_removed == 2
+    assert out[2].text == "all\nunique\nlines"
+    assert out[2].n_lines == 3 and out[2].n_lines_removed == 0
+    # null text behaves like empty text: one empty line, nothing removed
+    assert out[3].text == "" and out[3].n_lines == 1
+    assert out[3].n_lines_removed == 0
+
+
+def test_vocab_divergence_hand_computed(spark):
+    import math
+
+    from pdf_plumber_util_spark.operators.webtext import vocab_divergence
+
+    a = spark.createDataFrame([(1, "x x y")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "x z")], "doc_id long, text string")
+    rows = {r.word: r for r in vocab_divergence(a, b).collect()}
+    # union vocab {x, y, z}: V=3, N_a=3, N_b=2
+    assert set(rows) == {"x", "y", "z"}
+    p_x, q_x = (2 + 1) / 6, (1 + 1) / 5
+    assert abs(rows["x"].p - round(p_x, 6)) < 1e-12
+    assert abs(rows["x"].q - round(q_x, 6)) < 1e-12
+    assert abs(rows["x"].kl_term
+               - round(p_x * math.log(p_x / q_x), 6)) < 1e-12
+    # a word only in b contributes negatively (p < q)
+    assert rows["z"].kl_term < 0
+    # identical corpora diverge nowhere
+    same = vocab_divergence(a, a).agg(F.sum(F.abs(F.col("kl_term")))).first()[0]
+    assert same == 0.0
