@@ -3064,3 +3064,41 @@ SELECT word, c_a, c_b,
              / ((c_b + 1) / CAST(n_b + v AS DOUBLE))), 6) AS kl_term
 FROM j, t
 """
+
+
+def q_mix_plan_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m7: temperature-based (alpha=0.3) multilingual mixture rates over
+    the lang strata — the mT5/XLM-R sampling recipe, no hand targets."""
+    from .operators.webtext import mix_plan_temperature
+
+    return mix_plan_temperature(
+        load_table(spark, sf_dir, "documents"),
+        alpha=0.3, token_budget=100_000,
+    )
+
+
+EXTRA_QUERIES["m7_mix_plan_temperature"] = q_mix_plan_temperature
+
+EXTRA_ORACLES["m7_mix_plan_temperature"] = r"""
+WITH agg AS (
+  SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS stratum_tokens
+  FROM documents GROUP BY lang
+), z AS (
+  -- deterministic sequential left-fold over stratum-key-sorted strata,
+  -- nulls keyed as '' — mirrors the Spark side's array_sort + aggregate
+  SELECT list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(
+        list_sort(list({'k': COALESCE(stratum, ''),
+                        't': CAST(stratum_tokens AS DOUBLE)})),
+        s -> pow(s.t, 0.3))),
+    (acc, x) -> acc + x) AS z
+  FROM agg
+)
+SELECT stratum, n_docs, stratum_tokens,
+  round(LEAST(1.0,
+    (pow(CAST(stratum_tokens AS DOUBLE), 0.3) / z.z)
+      * 100000.0 / stratum_tokens), 6) AS rate
+FROM agg, z
+"""

@@ -911,3 +911,59 @@ def vocab_divergence(docs_a: DataFrame, docs_b: DataFrame,
         F.round(q, round_dp).alias("q"),
         F.round(p * F.log(p / q), round_dp).alias("kl_term"),
     )
+
+
+def mix_plan_temperature(docs: DataFrame, alpha: float = 0.3,
+                         token_budget: int = 1_000_000,
+                         strat_col: str = "lang",
+                         token_col: str = "n_chars",
+                         round_dp: int = 6) -> DataFrame:
+    """Temperature-based mixture rates (the mT5/XLM-R multilingual
+    sampling recipe, Xue et al. 2021 §3.1 / Conneau et al. 2020 §3):
+    stratum k's share of the budget is proportional to its token mass
+    raised to ``alpha`` < 1 — upsampling the tail relative to natural
+    frequency without hand-written targets (alpha=1 is natural
+    sampling, alpha=0 uniform):
+
+        share_k = tokens_k^alpha / sum_j tokens_j^alpha
+        rate_k  = min(1, share_k * token_budget / tokens_k)
+
+    Output matches mix_plan (stratum, n_docs, stratum_tokens, rate) and
+    feeds mix_sample unchanged.
+
+    Determinism: the normalizer sum_j tokens_j^alpha folds over the
+    strata array SORTED by stratum key (nulls keyed as '' so both
+    engines order identically); rates round to ``round_dp``. Shape: one
+    strata-sized aggregation, one single-row broadcast — nothing
+    corpus-sized moves.
+    """
+    agg = docs.groupBy(strat_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_col).cast("long").alias("stratum_tokens"),
+    )
+    a = F.lit(float(alpha))
+    tot = agg.select(
+        F.struct(
+            F.coalesce(F.col(strat_col).cast("string"), F.lit(""))
+            .alias("k"),
+            F.col("stratum_tokens").alias("t"),
+        ).alias("_s")
+    ).agg(F.collect_list("_s").alias("_st")).select(
+        F.aggregate(
+            F.expr("transform(array_sort(_st), s -> CAST(s.t AS DOUBLE))"),
+            F.lit(0.0),
+            lambda acc, t: acc + F.pow(t, a),
+        ).alias("_z")
+    )
+    scored = agg.crossJoin(F.broadcast(tot))
+    share = F.pow(F.col("stratum_tokens").cast("double"), a) / F.col("_z")
+    rate = F.least(
+        F.lit(1.0),
+        share * F.lit(float(token_budget)) / F.col("stratum_tokens"),
+    )
+    return scored.select(
+        F.col(strat_col).alias("stratum"),
+        "n_docs",
+        "stratum_tokens",
+        F.round(rate, round_dp).alias("rate"),
+    )

@@ -436,3 +436,41 @@ def test_vocab_divergence_hand_computed(spark):
     # identical corpora diverge nowhere
     same = vocab_divergence(a, a).agg(F.sum(F.abs(F.col("kl_term")))).first()[0]
     assert same == 0.0
+
+
+def test_mix_plan_temperature(spark):
+    import math
+
+    from pdf_plumber_util_spark.operators.webtext import (
+        mix_plan_temperature,
+        mix_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 90 else "fr", 100) for i in range(100)],
+        "doc_id long, lang string, n_chars long",
+    )
+    out = {r.stratum: r for r in
+           mix_plan_temperature(docs, alpha=0.5,
+                                token_budget=5000).collect()}
+    # hand-computed: tokens en=9000, fr=1000; z = sqrt(9000)+sqrt(1000)
+    z = math.sqrt(9000) + math.sqrt(1000)
+    exp_en = min(1.0, (math.sqrt(9000) / z) * 5000 / 9000)
+    exp_fr = min(1.0, (math.sqrt(1000) / z) * 5000 / 1000)
+    assert abs(out["en"].rate - round(exp_en, 6)) < 1e-12
+    assert abs(out["fr"].rate - round(exp_fr, 6)) < 1e-12
+    # alpha < 1 upsamples the tail: fr's rate exceeds its natural share
+    assert out["fr"].rate > out["en"].rate
+    # alpha = 1 reduces to natural sampling: every stratum gets the
+    # same rate (budget / total tokens)
+    nat = {r.stratum: r.rate for r in
+           mix_plan_temperature(docs, alpha=1.0,
+                                token_budget=5000).collect()}
+    assert abs(nat["en"] - nat["fr"]) < 1e-9
+    # the rates feed mix_sample unchanged (fr rate is 1.0: all kept;
+    # en at ~0.42 is subsampled)
+    rates = {k: v.rate for k, v in out.items()}
+    sampled = mix_sample(docs, rates)
+    kept = sampled.filter("keep").count()
+    assert 10 < kept < 100
+    assert sampled.filter("lang = 'fr' AND NOT keep").count() == 0
