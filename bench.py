@@ -106,7 +106,7 @@ def _probe():
 
 
 def _gate(probes: list, waits: list, segment: str,
-          refill_s: float = 0.0) -> None:
+          refill_s: float = 0.0, segments: list | None = None) -> None:
     """Block until the CPU window is healthy (capacity >= gate) or the
     per-segment / cumulative wait budgets run out, then idle refill_s
     more to rebuild the burst reserve (the probe cannot see it — module
@@ -136,6 +136,58 @@ def _gate(probes: list, waits: list, segment: str,
         time.sleep(refill_s)
     probes.append(p)
     waits.append(round(waited, 1))
+    if segments is not None:
+        segments.append(
+            {"segment": segment, "probe_M": p, "waited_s": round(waited, 1),
+             "refill_s": refill_s}
+        )
+
+
+def _gate_evidence(segments: list, probes: list, waits: list) -> dict:
+    """Machine-readable gate-health record (VERDICT r4 #6): a stable
+    schema future judges can parse instead of reconstructing health from
+    prose. Optionally embeds the latest scaling_bench summary
+    ($SPARK_GRAFT_SCALING_JSON, default artifacts/round5/scaling_r5.json)
+    so one artifact carries both gate health and scaling evidence."""
+    passed = [
+        s for s in segments if s["probe_M"] is not None
+        and s["probe_M"] >= CAP_GATE_M
+    ]
+    ev = {
+        "schema": 1,
+        "capacity_gate_M": CAP_GATE_M,
+        "refill_idle_s": REFILL_S,
+        "max_wait_s": MAX_WAIT_S,
+        "total_wait_budget_s": TOTAL_WAIT_S,
+        "segments": segments,
+        "n_segments": len(segments),
+        "n_gates_passed": len(passed),
+        "all_gates_passed": len(passed) == len(segments),
+        "total_gate_wait_s": round(sum(waits), 1),
+        "probes_M": probes,
+    }
+    scaling_path = os.environ.get(
+        "SPARK_GRAFT_SCALING_JSON",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "artifacts", "round5", "scaling_r5.json"),
+    )
+    try:
+        with open(scaling_path) as f:
+            s = json.load(f)
+        ev["scaling"] = {
+            "source": scaling_path,
+            "n_docs": s.get("n_docs"),
+            "low_cores": s.get("low_cores"),
+            "high_cores": s.get("high_cores"),
+            "scaling_efficiency": s.get("scaling_efficiency"),
+            "per_round_efficiencies": s.get("per_round_efficiencies"),
+            "rejected_rounds": s.get("rejected_rounds"),
+            "round_gates": s.get("round_gates"),
+            "aqe_off_high_median_sec": s.get("aqe_off_high_median_sec"),
+        }
+    except (OSError, ValueError):
+        ev["scaling"] = None
+    return ev
 
 
 def main() -> None:
@@ -145,8 +197,9 @@ def main() -> None:
 
     probes: list[float | None] = []
     waits: list[float] = []
+    segments: list[dict] = []
     # gate on a quiet window rather than record a throttled artifact
-    _gate(probes, waits, "startup")
+    _gate(probes, waits, "startup", segments=segments)
     start_probe = probes[-1]
 
     spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
@@ -171,11 +224,12 @@ def main() -> None:
     for p in range(2):
         clear_shared_lines()
         spark.catalog.clearCache()
-        _gate(probes, waits, f"pass_{p + 1}")
+        _gate(probes, waits, f"pass_{p + 1}", segments=segments)
         timings: dict[str, float] = {}
         for name in BENCH_QUERIES:
             if name in EXPENSIVE:
-                _gate(probes, waits, f"{name}_p{p + 1}", refill_s=REFILL_S)
+                _gate(probes, waits, f"{name}_p{p + 1}", refill_s=REFILL_S,
+                      segments=segments)
             t0 = time.time()
             df = qmap[name](spark, SF_DIR)
             n = df.count()
@@ -199,7 +253,8 @@ def main() -> None:
         pages.count()
         extract_documents(pages.limit(256)).count()
         for p in range(2):
-            _gate(probes, waits, f"html_pass_{p + 1}", refill_s=REFILL_S)
+            _gate(probes, waits, f"html_pass_{p + 1}", refill_s=REFILL_S,
+                  segments=segments)
             t0 = time.time()
             n_extracted = extract_documents(pages).count()
             extract_secs.append(time.time() - t0)
@@ -209,7 +264,8 @@ def main() -> None:
     # third gated cold attempt for the headline flagship number
     clear_shared_lines()
     spark.catalog.clearCache()
-    _gate(probes, waits, "flagship_p3", refill_s=REFILL_S)
+    _gate(probes, waits, "flagship_p3", refill_s=REFILL_S,
+          segments=segments)
     t0 = time.time()
     n_docs = qmap["flagship_body_text"](spark, SF_DIR).count()
     flag_p3 = round(time.time() - t0, 3)
@@ -250,6 +306,7 @@ def main() -> None:
         "capacity_probes_M": probes,
         "capacity_gate_M": CAP_GATE_M,
         "gate_wait_s": waits,
+        "gate_evidence": _gate_evidence(segments, probes, waits),
     }
     clear_shared_lines()
     print(json.dumps(result))

@@ -242,6 +242,18 @@ def cmd_index(args) -> int:
         docs = docs.withColumnRenamed(args.text_col, "text")
     idx = fingerprint_index(docs)
     if args.merge:
+        dest = os.path.abspath(
+            os.path.join(args.output, f"{args.basename}_fingerprints"))
+        if os.path.abspath(args.merge) == dest:
+            # overwrite-while-reading the same parquet is undefined in
+            # Spark; an in-place refresh must write to a new basename
+            print(json.dumps({
+                "error": "merge path equals the output index path; "
+                         "write to a different --output/--basename and "
+                         "swap afterwards",
+                "merge": args.merge, "dest": dest,
+            }), file=sys.stderr)
+            return 2
         idx = idx.union(
             spark.read.parquet(args.merge).select("fingerprint")
         ).distinct()
@@ -293,6 +305,24 @@ def cmd_curate(args) -> int:
         dedup_index=(spark.read.parquet(args.dedup_index)
                      if args.dedup_index else None),
     )
+    report_path = None
+    report_actions: dict[str, int] = {}
+    if args.dedup_report:
+        from .operators.dedup import dedup_report
+
+        rep = dedup_report(
+            docs,
+            span_words=args.span_words,
+            stride=args.span_stride,
+        )
+        report_path = write_stage(
+            rep, args.output, args.basename, "dedup_report"
+        )
+        report_actions = {
+            r["action"]: int(r["n"])
+            for r in spark.read.parquet(report_path)
+            .groupBy("action").agg(F.count("*").alias("n")).collect()
+        }
     path = write_stage(out, args.output, args.basename, "curated")
     written = spark.read.parquet(path)
     funnel = written.agg(
@@ -308,8 +338,45 @@ def cmd_curate(args) -> int:
         F.sum(F.col("keep").cast("long")).alias("kept"),
         F.sum("n_pii_redactions").alias("pii_redactions"),
     ).collect()[0]
-    print(json.dumps({"curated": path, **{k: int(funnel[k] or 0)
-                                          for k in funnel.asDict()}}))
+    result = {"curated": path, **{k: int(funnel[k] or 0)
+                                  for k in funnel.asDict()}}
+    if report_path is not None:
+        result["dedup_report"] = report_path
+        result["dedup_actions"] = report_actions
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_train_model(args) -> int:
+    """Train the (word, weight) linear quality model on a labeled
+    documents table (operators.text_analysis.train_logreg_words) and
+    write it as the parquet `curate --quality-model` consumes."""
+    from pyspark.sql import functions as F
+
+    from .operators.text_analysis import train_logreg_words
+    from .plans.io import write_stage
+
+    spark = _spark(args.cores)
+    docs = spark.read.parquet(args.input)
+    for src, dst in ((args.id_col, "doc_id"), (args.text_col, "text"),
+                     (args.label_col, "label")):
+        if src != dst:
+            docs = docs.withColumnRenamed(src, dst)
+    w = train_logreg_words(
+        docs, label_col="label", steps=args.steps, lr=args.lr
+    )
+    path = write_stage(w, args.output, args.basename, "quality_model")
+    model = spark.read.parquet(path)
+    stats = model.agg(
+        F.count("*").alias("vocab"),
+        F.sum((F.col("weight") > 0).cast("long")).alias("positive"),
+    ).collect()[0]
+    print(json.dumps({
+        "model": path,
+        "vocab": int(stats["vocab"]),
+        "positive_weights": int(stats["positive"] or 0),
+        "steps": args.steps,
+    }))
     return 0
 
 
@@ -417,8 +484,31 @@ def main(argv: list[str] | None = None) -> int:
                    help="parquet fingerprint index of the prior corpus "
                         "(see the index subcommand); docs already in it "
                         "are dropped as duplicates")
+    p.add_argument("--dedup-report", action="store_true",
+                   help="also write {basename}_dedup_report: per-doc "
+                        "exact/near/span dedup verdicts with one action "
+                        "(drop_exact > drop_near > trim_spans > keep)")
     p.add_argument("--cores", type=int, default=None)
     p.set_defaults(fn=cmd_curate)
+
+    p = sub.add_parser(
+        "train-model",
+        help="labeled documents -> (word, weight) linear quality model "
+             "(distributed logistic regression; feed to curate "
+             "--quality-model)",
+    )
+    p.add_argument("--input", required=True,
+                   help="parquet with doc_id, text and a boolean/0-1 "
+                        "label column")
+    p.add_argument("--output", required=True)
+    p.add_argument("--basename", default="doc")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--label-col", default="label")
+    p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--lr", type=float, default=1.0)
+    p.add_argument("--cores", type=int, default=None)
+    p.set_defaults(fn=cmd_train_model)
 
     args = ap.parse_args(argv)
     try:

@@ -3102,3 +3102,174 @@ SELECT stratum, n_docs, stratum_tokens,
       * 100000.0 / stratum_tokens), 6) AS rate
 FROM agg, z
 """
+
+
+# ==================================================== round-5 additions
+# (VERDICT r4 items #3 production-width MinHash, #4 classifier training,
+#  #5 consolidated dedup report)
+
+
+def q_minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d2w: MinHash banding at PRODUCTION signature width — 64 hashes in
+    16 bands of 4 (the 20x6 / 16x4 regime real pipelines run, vs the
+    contract-default 8x2 of d2). Exercises the lexicographic band-key
+    path where seed order and string order diverge (seeds >= 10), and
+    the zero-exchange wide-signature projection (plan pinned in
+    tests/test_plan_shape.py::test_minhash_wide_zero_exchanges)."""
+    return dedup.lsh_bands(
+        load_table(spark, sf_dir, "documents"), num_hashes=64, band_size=4
+    ).select(
+        "doc_id", F.col("band_idx").cast("long").alias("band_idx"),
+        "band_key",
+    )
+
+
+EXTRA_QUERIES["d2w_minhash_wide"] = q_minhash_wide
+
+# NOTE the band-key member order: the Spark side sorts the "seed:hash"
+# strings LEXICOGRAPHICALLY inside each band (array_sort), so the oracle
+# must too — ORDER BY seed (the d2 oracle's choice) only coincides with
+# it below seed 10.
+EXTRA_ORACLES["d2w_minhash_wide"] = _DOCS_TOKS_SQL + r"""
+, seeded AS (
+  SELECT doc_id, s.seed,
+    MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS min_hash
+  FROM shingles, generate_series(0, 63) AS s(seed)
+  GROUP BY doc_id, s.seed
+)
+SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band_idx,
+  md5(STRING_AGG(CAST(seed AS VARCHAR) || ':' || min_hash, '|'
+      ORDER BY CAST(seed AS VARCHAR) || ':' || min_hash)) AS band_key
+FROM seeded GROUP BY doc_id, seed // 4
+"""
+
+
+def q_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t17: distributed logistic-regression TRAINING (2 full-batch
+    gradient steps, lr=1.0, quantized gradients) of the (word, weight)
+    model on a labeled sample (doc_id < 250, label = lang='en'), then
+    linear_quality scoring of the WHOLE corpus with the trained model —
+    the train->score round trip, value-oracled end to end (the oracle
+    unrolls both gradient steps as SQL CTEs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") < 250).withColumn(
+        "label", F.col("lang") == "en"
+    )
+    w = text_analysis.train_logreg_words(
+        train, label_col="label", steps=2, lr=1.0
+    )
+    return text_analysis.linear_quality(docs, w, bias=0.0)
+
+
+EXTRA_QUERIES["t17_quality_train"] = q_quality_train
+
+# gradient quantum: banker's-round(g * 1e9) / 1e9, mirroring
+# train_logreg_words(grad_dp=9) — float-sum order noise (~1e-13) is six
+# orders below the quantum, so Spark and DuckDB train identical weights
+_T17_Q = "1000000000.0"
+EXTRA_ORACLES["t17_quality_train"] = f"""
+WITH tdocs AS (
+  SELECT doc_id, text,
+    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents WHERE doc_id < 250
+), ttoks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM tdocs
+), dw AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS m
+  FROM ttoks GROUP BY doc_id, word
+), nd AS (
+  SELECT dw.doc_id, SUM(dw.m) AS n, ANY_VALUE(t.y) AS y
+  FROM dw JOIN tdocs t USING (doc_id) GROUP BY dw.doc_id
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nd),
+-- step 1: w=0 -> every margin 0 -> sigmoid exactly 0.5 -> resid 0.5 - y
+g1 AS (
+  SELECT dw.word,
+    {_sql_py_round(f'(SUM((0.5 - nd.y) * dw.m / nd.n) / (SELECT c FROM nn)) * {_T17_Q}')}
+      / {_T17_Q} AS g
+  FROM dw JOIN nd USING (doc_id) GROUP BY dw.word
+), w1 AS (SELECT word, 0.0 - 1.0 * g AS weight FROM g1),
+-- step 2: margin = word-sorted fold of m*w, z = margin / n
+z2 AS (
+  SELECT dw.doc_id,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(
+          list_sort(list({{'word': dw.word, 'w': w1.weight, 'm': dw.m}})),
+          p -> CAST(p.m AS DOUBLE) * p.w)),
+      (acc, x) -> acc + x) AS s
+  FROM dw JOIN w1 USING (word) GROUP BY dw.doc_id
+), r2 AS (
+  SELECT nd.doc_id, 1.0 / (1.0 + exp(-(z2.s / nd.n))) - nd.y AS resid, nd.n
+  FROM z2 JOIN nd USING (doc_id)
+), g2 AS (
+  SELECT dw.word,
+    {_sql_py_round(f'(SUM(r2.resid * dw.m / r2.n) / (SELECT c FROM nn)) * {_T17_Q}')}
+      / {_T17_Q} AS g
+  FROM dw JOIN r2 USING (doc_id) GROUP BY dw.word
+), weights AS (
+  SELECT w1.word, w1.weight - 1.0 * g2.g AS weight
+  FROM w1 JOIN g2 USING (word)
+),
+-- linear_quality scoring of the WHOLE corpus (t15 shape, bias 0)
+stoks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+), sdw AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS m
+  FROM stoks GROUP BY doc_id, word
+), sww AS (
+  SELECT sdw.doc_id, sdw.word, sdw.m, COALESCE(w.weight, 0.0) AS w
+  FROM sdw LEFT JOIN weights w USING (word)
+), spd AS (
+  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(list_sort(list({{'word': word, 'w': w, 'm': m}})),
+                       p -> CAST(p.m AS DOUBLE) * p.w)),
+      (acc, x) -> acc + x) AS sum_w
+  FROM sww GROUP BY doc_id
+), ssc AS (
+  SELECT d.doc_id,
+    COALESCE(spd.n_tokens, 0) AS n_tokens,
+    COALESCE(0.0 + spd.sum_w / spd.n_tokens, 0.0) AS z
+  FROM documents d LEFT JOIN spd USING (doc_id)
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(1.0 / (1.0 + exp(-z)), 4) AS score,
+  round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS label
+FROM ssc
+"""
+
+
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d18: consolidated per-doc dedup verdict — exact fingerprint
+    groups + near-dup CC canonical + duplicate-span coverage folded
+    into one action (drop_exact > drop_near > trim_spans > keep)."""
+    return dedup.dedup_report(load_table(spark, sf_dir, "documents"))
+
+
+EXTRA_QUERIES["d18_dedup_report"] = q_dedup_report
+
+# composes the three already-green oracles (d1 / d8 / d11) as subqueries
+EXTRA_ORACLES["d18_dedup_report"] = f"""
+WITH ex AS (
+  SELECT doc_id, canonical_id AS exact_canonical_id,
+    is_duplicate AS is_exact_dup
+  FROM ({EXTRA_ORACLES["d1_exact_dedup"]}) _d1
+), nd AS (
+  SELECT doc_id, canonical_id AS near_canonical_id,
+    is_duplicate AS is_near_dup
+  FROM ({_near_dup_oracle()}) _d8
+), sp AS (
+  SELECT doc_id, dup_token_frac
+  FROM ({EXTRA_ORACLES["d11_duplicate_spans"]}) _d11
+)
+SELECT ex.doc_id, ex.exact_canonical_id, ex.is_exact_dup,
+  nd.near_canonical_id, nd.is_near_dup, sp.dup_token_frac,
+  CASE WHEN ex.is_exact_dup THEN 'drop_exact'
+       WHEN nd.is_near_dup THEN 'drop_near'
+       WHEN sp.dup_token_frac >= 0.3 THEN 'trim_spans'
+       ELSE 'keep' END AS action
+FROM ex JOIN nd USING (doc_id) JOIN sp USING (doc_id)
+"""

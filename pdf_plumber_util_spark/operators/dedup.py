@@ -772,3 +772,59 @@ def incremental_dedup(new_docs: DataFrame, index: DataFrame) -> DataFrame:
         )
     )
     return out.withColumn("keep", ~F.col("is_duplicate"))
+
+
+def dedup_report(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
+                 k: int = 3, threshold: float = 0.5,
+                 max_df: int | None = 1000,
+                 span_words: int = 20, stride: int = 5,
+                 span_frac_threshold: float = 0.3) -> DataFrame:
+    """Consolidated per-doc dedup verdict across the three granularities
+    a production pipeline acts on together (the Lee et al. 2022 pairing
+    of document-level fuzzy dedup with substring-level exact dedup —
+    arXiv:2107.06499 — plus the plain exact-hash gate):
+
+      exact  exact_duplicates — normalized-text md5 fingerprint groups
+      near   near_dup_pipeline — LSH bands -> df-capped Jaccard verify
+             -> connected-component canonical
+      spans  duplicate_span_stats — sliding-window duplicate coverage
+
+    One row per doc: the exact and near canonical ids, both duplicate
+    flags, the duplicated-token fraction, and a single ``action`` with
+    precedence drop_exact > drop_near > trim_spans (dup_token_frac >=
+    ``span_frac_threshold``) > keep — exact dups are caught first so the
+    near-dup CC never has to pay for them, and span trimming only
+    applies to documents that survive doc-level dedup.
+
+    Shape at scale: the three subplans are independently bounded (each
+    documents its own exchanges); the report is two doc_id-keyed
+    equi-joins over their doc-sized outputs. Nothing here adds a
+    corpus-text shuffle.
+    """
+    ex = exact_duplicates(docs).select(
+        "doc_id",
+        F.col("canonical_id").alias("exact_canonical_id"),
+        F.col("is_duplicate").alias("is_exact_dup"),
+    )
+    nd = near_dup_pipeline(
+        docs, num_hashes=num_hashes, band_size=band_size, k=k,
+        threshold=threshold, max_df=max_df,
+    ).select(
+        "doc_id",
+        F.col("canonical_id").alias("near_canonical_id"),
+        F.col("is_duplicate").alias("is_near_dup"),
+    )
+    sp = duplicate_span_stats(docs, span_words=span_words, stride=stride)
+    sp = sp.select("doc_id", "dup_token_frac")
+    rep = ex.join(nd, "doc_id").join(sp, "doc_id")
+    action = (
+        F.when(F.col("is_exact_dup"), "drop_exact")
+        .when(F.col("is_near_dup"), "drop_near")
+        .when(F.col("dup_token_frac") >= span_frac_threshold, "trim_spans")
+        .otherwise("keep")
+    )
+    return rep.select(
+        "doc_id", "exact_canonical_id", "is_exact_dup",
+        "near_canonical_id", "is_near_dup", "dup_token_frac",
+        action.alias("action"),
+    )

@@ -580,8 +580,12 @@ def linear_quality(docs: DataFrame, weights: DataFrame, bias: float = 0.0,
     )
     dw = words.groupBy("doc_id", "word").agg(
         F.count("*").cast("long").alias("m"))
+    # A duplicate word row in the model would fan the word-keyed join out
+    # and double-count that token's weight; collapse duplicates to their
+    # mean (identity for a well-formed model, deterministic otherwise).
+    uniq_w = weights.groupBy("word").agg(F.avg("weight").alias("weight"))
     ww = dw.join(
-        weights.select("word", "weight"), "word", "left"
+        uniq_w, "word", "left"
     ).select(
         "doc_id", "word", "m",
         F.coalesce("weight", F.lit(0.0)).alias("w"),
@@ -609,3 +613,107 @@ def linear_quality(docs: DataFrame, weights: DataFrame, bias: float = 0.0,
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z"))),
                 round_dp).alias("score"),
     ).withColumn("label", F.col("score") >= 0.5)
+
+
+def train_logreg_words(docs: DataFrame, label_col: str = "label",
+                       steps: int = 2, lr: float = 1.0,
+                       text_col: str = "text",
+                       grad_dp: int = 9) -> DataFrame:
+    """Distributed full-batch logistic-regression TRAINING of the
+    (word, weight) model ``linear_quality`` consumes (round-5 VERDICT
+    item #4 — the training half of the fastText-shape classifier,
+    Joulin et al. 2017, arXiv:1607.01759; trained here as plain
+    gradient descent on the mean-token-weight logit).
+
+    Model (matches linear_quality scoring with bias 0):
+        z_i = (sum_j m_ij * w_j) / n_i,   p_i = sigmoid(z_i)
+    Full-batch gradient of the mean logistic loss:
+        g_j = (1/N) * sum_i (p_i - y_i) * m_ij / n_i
+        w_j <- w_j - lr * g_j
+    starting from w = 0. ``label_col`` must be boolean/0-1.
+
+    Every step is DataFrame-only: one word-keyed equi-join of the
+    (doc_id, word, m) table against the current weights, a doc-keyed
+    aggregate for the margins, and a word-keyed aggregate for the
+    gradient; weights never leave the cluster (localCheckpoint per step
+    truncates the iterative lineage exactly like connected_components).
+    Zero-token documents cannot contribute gradient and are excluded
+    from N.
+
+    Determinism: the per-doc margin folds over word-sorted terms (the
+    linear_quality trick), and each gradient component is quantized to
+    ``grad_dp`` decimals with banker's rounding before the update —
+    corpus-scale float-sum noise is ~1e-13, six orders below the 1e-9
+    quantum, so the trained weights are bit-identical across
+    partitionings and reproducible by the DuckDB oracle (t17).
+    """
+    from ..functions.rounding import py_round
+
+    if steps < 1:
+        raise ValueError("steps must be >= 1")
+    quant = float(10 ** grad_dp)
+    dw = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)),
+                                     F.lit("[a-z0-9]+"), 0)
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("m"))
+        .persist()
+    )
+    nd = (
+        dw.groupBy("doc_id")
+        .agg(F.sum("m").alias("n"))
+        .join(
+            docs.select(
+                "doc_id", F.col(label_col).cast("double").alias("y")
+            ),
+            "doc_id",
+        )
+        .persist()
+    )
+    n_docs = nd.count()  # parameter-sized driver scalar
+    weights = dw.select("word").distinct().select(
+        "word", F.lit(0.0).alias("weight")
+    ).localCheckpoint(eager=True)
+    for _ in range(steps):
+        ww = dw.join(weights, "word").select(
+            "doc_id", "word", "m", F.col("weight").alias("w")
+        )
+        margins = ww.groupBy("doc_id").agg(
+            F.collect_list(F.struct("word", "w", "m")).alias("_wm")
+        )
+        fold = F.aggregate(
+            F.expr("transform(array_sort(_wm), p -> p.m * p.w)"),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        resid = margins.select("doc_id", fold.alias("_s")).join(
+            nd, "doc_id"
+        ).select(
+            "doc_id",
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(F.col("_s") / F.col("n"))))
+                - F.col("y")
+            ).alias("resid"),
+            "n",
+        )
+        grad = dw.join(resid, "doc_id").groupBy("word").agg(
+            F.sum(F.col("resid") * F.col("m") / F.col("n")).alias("_g")
+        ).select(
+            "word",
+            (py_round((F.col("_g") / n_docs) * quant) / quant).alias("g"),
+        )
+        weights = weights.join(grad, "word", "left").select(
+            "word",
+            (F.col("weight") - lr * F.coalesce("g", F.lit(0.0))).alias(
+                "weight"
+            ),
+        ).localCheckpoint(eager=True)
+    dw.unpersist()
+    nd.unpersist()
+    return weights

@@ -5,6 +5,8 @@ assert wiring + artifacts, not semantics (covered by the oracle suite)."""
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from pdf_plumber_util_spark import cli
 from pdf_plumber_util_spark.sources.pages import synth_pages
 
@@ -257,3 +259,80 @@ def test_cli_index_then_curate_dedup_index(spark, tmp_path, capsys):
     # 2 prior + 1 genuinely new; the re-crawled page and the within-batch
     # dup collapse into existing fingerprints
     assert ix2["fingerprints"] == 3
+
+
+def test_cli_train_model_and_curate_with_it(spark, tmp_path, capsys):
+    """Round-5 train->score round trip at the CLI level: train-model on
+    a separable labeled corpus, then curate --quality-model with the
+    artifact — the classifier gate must keep the good docs and drop the
+    spam ones."""
+    good = ("thorough analysis of the measured results and their "
+            "careful discussion with full methodology details included")
+    spam = ("buy cheap pills now click here free offer winner "
+            "prize claim your money fast easy guaranteed")
+    rows = [
+        (i, (good if i % 2 == 0 else spam) + f" filler{i}", i % 2 == 0)
+        for i in range(20)
+    ]
+    labeled = str(tmp_path / "labeled")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, label boolean"
+    ).write.parquet(labeled)
+    out = str(tmp_path / "outm")
+    assert cli.main(["train-model", "--input", labeled, "--output", out,
+                     "--basename", "m", "--steps", "10", "--lr", "5.0",
+                     "--cores", "8"]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["vocab"] > 0
+    model = spark.read.parquet(info["model"])
+    assert set(model.columns) == {"word", "weight"}
+    assert model.count() == info["vocab"]
+
+    assert cli.main(["curate", "--input", labeled, "--output", out,
+                     "--basename", "scored", "--min-words", "5",
+                     "--quality-model", info["model"],
+                     "--cores", "8"]) == 0
+    funnel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert funnel["classifier_pass"] == 10  # exactly the good half
+    curated = spark.read.parquet(funnel["curated"])
+    kept_ids = {r["doc_id"] for r in curated.filter("classifier_keep").collect()}
+    assert kept_ids == {i for i in range(20) if i % 2 == 0}
+
+
+def test_cli_curate_dedup_report(spark, tmp_path, capsys):
+    """--dedup-report writes the consolidated per-doc verdict table next
+    to the curated corpus, with sane action counts."""
+    base = " ".join(f"tok{i:02d}" for i in range(60))
+    clean = " ".join(f"uniq{i:02d}" for i in range(60))
+    docs_path = str(tmp_path / "docs_rep")
+    spark.createDataFrame(
+        [(0, base, "en"), (1, base, "en"), (2, clean, "en")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "outrep")
+    assert cli.main(["curate", "--input", docs_path, "--output", out,
+                     "--basename", "rep", "--min-words", "5",
+                     "--dedup-report", "--cores", "8"]) == 0
+    funnel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert funnel["dedup_actions"].get("drop_exact") == 1
+    rep = spark.read.parquet(funnel["dedup_report"])
+    assert rep.count() == 3
+    assert {"doc_id", "exact_canonical_id", "is_exact_dup",
+            "near_canonical_id", "is_near_dup", "dup_token_frac",
+            "action"} == set(rep.columns)
+
+
+def test_cli_index_merge_equals_destination_rejected(spark, sf_dir,
+                                                     tmp_path, capsys):
+    """In-place index refresh (merge path == output path) must be
+    rejected up front, not corrupt the index (ADVICE r4)."""
+    docs = f"{sf_dir}/documents.parquet"
+    out = str(tmp_path / "outidx")
+    assert cli.main(["index", "--input", docs, "--output", out,
+                     "--basename", "i", "--cores", "8"]) == 0
+    idx = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cli.main(["index", "--input", docs, "--output", out,
+                     "--basename", "i", "--merge", idx["index"],
+                     "--cores", "8"]) == 2
+    # the existing index is untouched
+    assert spark.read.parquet(idx["index"]).count() == idx["fingerprints"]

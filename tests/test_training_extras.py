@@ -946,3 +946,168 @@ def test_near_dup_longest_survivor(spark):
                dedup.near_dup_pipeline(docs, band_size=1).collect()}
     assert out_min[1].canonical_id == 1 and not out_min[1].is_duplicate
     assert out_min[9].canonical_id == 1 and out_min[9].is_duplicate
+
+
+# ------------------------------------------------- round-5: t17 training
+
+
+def _py_round(v: float) -> float:
+    """Python banker's round to int, as functions.rounding.py_round."""
+    return float(round(v))
+
+
+def _twin_train(doc_words: list[tuple[list[str], float]], steps: int,
+                lr: float = 1.0, grad_dp: int = 9) -> dict[str, float]:
+    """Pure-Python twin of train_logreg_words on tokenized docs."""
+    import math
+    from collections import Counter
+
+    quant = 10.0 ** grad_dp
+    dws = [(Counter(ws), float(len(ws)), y) for ws, y in doc_words if ws]
+    n_docs = len(dws)
+    vocab = sorted({w for c, _, _ in dws for w in c})
+    wts = {w: 0.0 for w in vocab}
+    for _ in range(steps):
+        grads = {w: 0.0 for w in vocab}
+        for cnt, n, y in dws:
+            # word-sorted fold, mirroring the engine's array_sort
+            s = 0.0
+            for w in sorted(cnt):
+                s += cnt[w] * wts[w]
+            resid = 1.0 / (1.0 + math.exp(-(s / n))) - y
+            for w, m in cnt.items():
+                grads[w] += resid * m / n
+        for w in vocab:
+            g = _py_round((grads[w] / n_docs) * quant) / quant
+            wts[w] = wts[w] - lr * g
+    return wts
+
+
+def test_train_logreg_hand_checkable_two_words(spark):
+    """The 2-feature case: docs are single words 'aa' (label 1) and 'bb'
+    (label 0). Step 1 is fully hand-computable: z=0 -> p=0.5 ->
+    resid=+-0.5 -> g=-+0.25 -> w=(+0.25, -0.25); step 2 asserted against
+    the pure-Python twin, and the round trip through linear_quality must
+    separate the classes."""
+    docs = spark.createDataFrame(
+        [(0, "aa", True), (1, "bb", False)],
+        "doc_id long, text string, label boolean",
+    )
+    w1 = {
+        r["word"]: r["weight"]
+        for r in text_analysis.train_logreg_words(
+            docs, label_col="label", steps=1
+        ).collect()
+    }
+    assert w1 == {"aa": 0.25, "bb": -0.25}
+
+    w2 = {
+        r["word"]: r["weight"]
+        for r in text_analysis.train_logreg_words(
+            docs, label_col="label", steps=2
+        ).collect()
+    }
+    want = _twin_train([(["aa"], 1.0), (["bb"], 0.0)], steps=2)
+    assert w2 == want
+    assert w2["aa"] > 0.25 and w2["bb"] < -0.25  # still descending
+
+    # round trip: score held-out docs with the trained model
+    model = spark.createDataFrame(
+        [(k, v) for k, v in w2.items()], "word string, weight double"
+    )
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in text_analysis.linear_quality(
+            spark.createDataFrame(
+                [(10, "aa aa"), (11, "bb"), (12, "aa bb")],
+                "doc_id long, text string",
+            ),
+            model, bias=0.0,
+        ).collect()
+    }
+    assert scores[10] > 0.5 > scores[11]
+    assert scores[12] == 0.5  # symmetric weights cancel
+
+
+def test_train_logreg_multiword_matches_twin(spark):
+    """Multi-word docs with shared vocabulary and repeated tokens, three
+    steps: engine weights must equal the pure-Python twin exactly (the
+    gradient quantization makes the floats deterministic)."""
+    rows = [
+        (0, "spam spam buy now cheap", False),
+        (1, "research results method analysis", True),
+        (2, "buy cheap spam offer", False),
+        (3, "method results discussion research analysis", True),
+        (4, "spam research buy results", True),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+    got = {
+        r["word"]: r["weight"]
+        for r in text_analysis.train_logreg_words(
+            docs, label_col="label", steps=3
+        ).collect()
+    }
+    want = _twin_train(
+        [(t.split(), 1.0 if y else 0.0) for _, t, y in rows], steps=3
+    )
+    assert got == want
+    # discriminative direction: spam-marker words negative, paper words
+    # positive
+    assert got["cheap"] < 0 < got["analysis"]
+
+
+def test_train_logreg_zero_token_docs_excluded(spark):
+    """Docs with no [a-z0-9]+ tokens contribute nothing — same weights
+    with and without them (they must also not inflate N)."""
+    base = [(0, "aa", True), (1, "bb", False)]
+    noisy = base + [(2, "....", True), (3, None, False)]
+    w_base = {
+        r["word"]: r["weight"]
+        for r in text_analysis.train_logreg_words(
+            spark.createDataFrame(base, "doc_id long, text string, label boolean"),
+            label_col="label", steps=2,
+        ).collect()
+    }
+    w_noisy = {
+        r["word"]: r["weight"]
+        for r in text_analysis.train_logreg_words(
+            spark.createDataFrame(noisy, "doc_id long, text string, label boolean"),
+            label_col="label", steps=2,
+        ).collect()
+    }
+    assert w_base == w_noisy
+
+
+# ------------------------------------------------- round-5: d18 report
+
+
+def test_dedup_report_planted(spark):
+    """Planted corpus covering every action: exact dup -> drop_exact,
+    one-word-changed near dup -> drop_near, within-doc repeated 20-token
+    block -> trim_spans, distinct doc -> keep; canonicals point at the
+    component minimum."""
+    from pdf_plumber_util_spark.operators.dedup import dedup_report
+
+    base = " ".join(f"tok{i:02d}" for i in range(60))
+    near = " ".join(
+        "CHANGED" if i == 50 else f"tok{i:02d}" for i in range(60)
+    )
+    block = " ".join(f"rep{i:02d}" for i in range(20))
+    filler = " ".join(f"mid{i:02d}" for i in range(20))
+    self_rep = f"{block} {filler} {block}"
+    clean = " ".join(f"uniq{i:02d}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, self_rep), (4, clean)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_report(docs).collect()}
+    assert len(got) == 5
+    assert not got[0]["is_exact_dup"] and got[0]["action"] == "keep"
+    assert got[1]["is_exact_dup"] and got[1]["action"] == "drop_exact"
+    assert got[1]["exact_canonical_id"] == 0
+    assert got[2]["is_near_dup"] and got[2]["action"] == "drop_near"
+    assert got[2]["near_canonical_id"] == 0
+    assert not got[3]["is_exact_dup"] and not got[3]["is_near_dup"]
+    assert got[3]["dup_token_frac"] >= 0.3
+    assert got[3]["action"] == "trim_spans"
+    assert got[4]["action"] == "keep" and got[4]["dup_token_frac"] == 0.0
