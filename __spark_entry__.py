@@ -39,7 +39,7 @@ _DRIVER_SLOTS = [
     "h5_boundaries", "flagship_body_text",
     # one representative per §2 analysis/sampling/pattern family
     "a3_doc_stats", "a4_line_spacing", "a8_paragraph_stats",
-    "a12_font_keys", "a13_margins", "a14_spacing_hist",
+    "a12_font_keys", "a13_margins",
     "w4_vertical_regions", "v2_spacing_occurrences",
     "r2_pattern_scan", "j2_method_compare",
     "m2_sample_stratified",
@@ -48,9 +48,16 @@ _DRIVER_SLOTS = [
     # scan counts) and j3 (parse_page_range pytest) — all three stay
     # value-green in the full compare_oracle sweep
     "d2w_minhash_wide", "t17_quality_train", "d18_dedup_report",
+    # round-5 batch 2: tf-idf keywords, deterministic shard plan,
+    # trigram lang-ID. Rotated out: t2_lang_id (t20 is the same family's
+    # char-level twin; t2 stays judge-sweep green), d3_ngram_jaccard
+    # (the Jaccard verify path runs inside d8_near_dup_pipeline, still a
+    # driver slot), a14_spacing_hist (rollup of a4_line_spacing, still a
+    # driver slot) — all three stay value-green in the full sweep
+    "t18_tfidf_topk", "t19_shuffle_shards", "t20_lang_trigrams",
     # training-data pipeline: text analysis, dedup, similarity, streaming
-    "a18_token_counts", "t1_quality", "t2_lang_id",
-    "d1_exact_dedup", "d2_minhash_bands", "d3_ngram_jaccard", "d4_simhash",
+    "a18_token_counts", "t1_quality",
+    "d1_exact_dedup", "d2_minhash_bands", "d4_simhash",
     "s1_cosine_topk", "s2b_ann_exhaustive",
     "e1_events_hourly", "e2_events_sessions",
     # round-3 curation operators, driver-unverified until this rotation

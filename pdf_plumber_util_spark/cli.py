@@ -380,6 +380,49 @@ def cmd_train_model(args) -> int:
     return 0
 
 
+def cmd_shards(args) -> int:
+    """Deterministic global shuffle + shard layout (webtext.shuffle_shards):
+    writes the documents joined with their (shard, pos, sort_key)
+    assignment, partitioned by shard — the training-data writer's final
+    'shuffle once, shard into N files' step."""
+    from pyspark.sql import functions as F
+
+    from .operators.webtext import shuffle_shards
+
+    spark = _spark(args.cores)
+    docs = spark.read.parquet(args.input)
+    if args.id_col != "doc_id":
+        docs = docs.withColumnRenamed(args.id_col, "doc_id")
+    token_col = args.token_col if args.token_col in docs.columns else None
+    plan = shuffle_shards(
+        docs.withColumn("_tok", F.coalesce(F.col(token_col), F.lit(0)))
+        if token_col else docs.withColumn("_tok", F.lit(0)),
+        n_shards=args.n_shards, salt=args.salt, token_col="_tok",
+    )
+    out = docs.join(plan.select("doc_id", "shard", "pos", "sort_key"),
+                    "doc_id")
+    path = os.path.join(args.output, f"{args.basename}_shards")
+    (
+        out.repartition(args.n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+    )
+    per_shard = plan.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    ).orderBy("shard").collect()  # n_shards rows — parameter-bounded
+    print(json.dumps({
+        "shards": path,
+        "n_shards": args.n_shards,
+        "salt": args.salt,
+        "per_shard": [
+            {"shard": int(r.shard), "n_docs": int(r.n_docs),
+             "n_tokens": int(r.n_tokens or 0)}
+            for r in per_shard
+        ],
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pdf-plumber-spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -509,6 +552,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lr", type=float, default=1.0)
     p.add_argument("--cores", type=int, default=None)
     p.set_defaults(fn=cmd_train_model)
+
+    p = sub.add_parser(
+        "shards",
+        help="documents -> deterministic shuffled shard layout "
+             "(md5-keyed order, partitioned-by-shard parquet)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--basename", default="doc")
+    p.add_argument("--n-shards", type=int, default=16)
+    p.add_argument("--salt", default="shard1",
+                   help="re-salt for an independent epoch shuffle")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--token-col", default="n_chars")
+    p.add_argument("--cores", type=int, default=None)
+    p.set_defaults(fn=cmd_shards)
 
     args = ap.parse_args(argv)
     try:

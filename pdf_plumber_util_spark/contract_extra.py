@@ -3273,3 +3273,129 @@ SELECT ex.doc_id, ex.exact_canonical_id, ex.is_exact_dup,
        ELSE 'keep' END AS action
 FROM ex JOIN nd USING (doc_id) JOIN sp USING (doc_id)
 """
+
+
+# ==================================================== round-5 additions 2
+# (tf-idf keyword profiles, n-gram language ID, deterministic shard plan)
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t18: per-doc top-5 TF-IDF terms (smoothed sklearn idf), the
+    corpus-inspection keyword profile; ranking by ROUNDED score so the
+    order is engine-portable."""
+    return text_analysis.tfidf_topk(
+        load_table(spark, sf_dir, "documents"), k=5
+    )
+
+
+EXTRA_QUERIES["t18_tfidf_topk"] = q_tfidf_topk
+
+EXTRA_ORACLES["t18_tfidf_topk"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, word
+), dfreq AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT doc_id, word, tf, df,
+    round(tf * (ln((n.n + 1) / CAST(df + 1 AS DOUBLE)) + 1.0), 6) AS score
+  FROM tf JOIN dfreq USING (word), n
+)
+SELECT doc_id,
+  CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, word ASC) AS BIGINT) AS rank,
+  word, tf, df, score
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_lang_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t20: character-trigram language ID (Cavnar-Trenkle heuristic) —
+    the char-level twin of t2's stopword lang_id, zero-exchange."""
+    return text_analysis.lang_id_trigrams(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+EXTRA_QUERIES["t20_lang_trigrams"] = q_lang_trigrams
+
+
+def _tri_list(code: str) -> str:
+    return "[" + ", ".join(
+        f"'{t}'" for t in text_analysis.LANG_TRIGRAMS[code]
+    ) + "]"
+
+
+# CASE-chain argmax in sorted-code order implements the same
+# "max hits, ties -> lowest language code" rule as the Spark struct
+# greatest; profiles are interpolated from the SAME dict the operator
+# reads, so the two sides cannot drift.
+EXTRA_ORACLES["t20_lang_trigrams"] = f"""
+WITH tris AS (
+  SELECT doc_id, lang,
+    CASE WHEN length(lower(text)) >= 3 THEN
+      list_transform(range(1, length(lower(text)) - 1),
+                     i -> substr(lower(text), CAST(i AS INTEGER), 3))
+    ELSE [] END AS tg
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+    len(list_filter(tg, t -> list_contains({_tri_list('de')}, t))) AS h_de,
+    len(list_filter(tg, t -> list_contains({_tri_list('en')}, t))) AS h_en,
+    len(list_filter(tg, t -> list_contains({_tri_list('es')}, t))) AS h_es,
+    len(list_filter(tg, t -> list_contains({_tri_list('fr')}, t))) AS h_fr
+  FROM tris
+)
+SELECT doc_id,
+  CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+       WHEN h_es >= h_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang,
+  CAST(greatest(h_de, h_en, h_es, h_fr) AS BIGINT) AS hits,
+  lang
+FROM scored
+"""
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t19: deterministic global shuffle + 8-way shard layout (the
+    training-data writer's 'shuffle once, shard, read sequentially'
+    step); shard AND within-shard order derive from one md5 key."""
+    from .operators.webtext import shuffle_shards
+
+    return shuffle_shards(
+        load_table(spark, sf_dir, "documents"), n_shards=8
+    )
+
+
+EXTRA_QUERIES["t19_shuffle_shards"] = q_shuffle_shards
+
+# uint32 of the first 8 md5 hex chars, digit-by-digit (DuckDB has no
+# base-16 string->int conversion): sum hexval(c_i) * 16^(8-i)
+_HEXU32 = " + ".join(
+    "CAST((strpos('0123456789abcdef', substr(sort_key, {i}, 1)) - 1)"
+    " AS BIGINT) * {w}".format(i=i, w=16 ** (8 - i))
+    for i in range(1, 9)
+)
+
+EXTRA_ORACLES["t19_shuffle_shards"] = f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
+    md5('shard1:' || CAST(doc_id AS VARCHAR)) AS sort_key
+  FROM documents
+), sharded AS (
+  SELECT doc_id, n_tokens, sort_key,
+    CAST(({_HEXU32}) % 8 AS BIGINT) AS shard
+  FROM keyed
+)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (
+    PARTITION BY shard ORDER BY sort_key, doc_id) AS BIGINT) AS pos,
+  sort_key, n_tokens
+FROM sharded
+"""

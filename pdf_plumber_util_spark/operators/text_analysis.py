@@ -717,3 +717,103 @@ def train_logreg_words(docs: DataFrame, label_col: str = "label",
     dw.unpersist()
     nd.unpersist()
     return weights
+
+# tiny per-language character-trigram profiles (shared verbatim with the
+# SQL oracles; profile size is a constant, so the per-doc scoring cost is
+# O(len(text) * sum(len(profiles))) with no exchange at all)
+LANG_TRIGRAMS = {
+    "en": ["the", "he ", " th", "ing", "and", "ion", "ow ", "le "],
+    "de": ["der", "sch", "ich", "ein", "und", "cht", "ung", "gen"],
+    "es": [" de", "de ", "la ", " la", "os ", "ión", "ent", "que"],
+    "fr": ["es ", "le ", " le", "ent", "que", "ait", "eur", "oux"],
+}
+
+
+def lang_id_trigrams(docs: DataFrame) -> DataFrame:
+    """Character-n-gram language ID (the classic Cavnar-Trenkle n-gram
+    heuristic, trigram variant): every overlapping 3-gram of the
+    lowercased text is matched against each language's fixed trigram
+    profile; the predicted language is the argmax hit count with a
+    deterministic lowest-code tie-break (same rule as lang_id).
+
+    Pure map-side Column work — the trigram array is built with
+    transform(sequence(...)) and scored with filter(array_contains),
+    so no explode, no exchange, no UDF; cost is linear in text length.
+    Complements the stopword-based lang_id (words vs characters — the
+    char path is what holds up on unsegmented scripts).
+    """
+    lower = F.lower(F.col("text"))
+    # guard: sequence(1, n) is DESCENDING for n < 1 in Spark, so clamp
+    # short texts to an explicitly empty trigram array
+    tris = F.when(
+        F.length(lower) >= 3,
+        F.expr(
+            "transform(sequence(1, length(lower(text)) - 2),"
+            " i -> substring(lower(text), i, 3))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    scores = []
+    for i, (code, profile) in enumerate(sorted(LANG_TRIGRAMS.items())):
+        prof = F.array(*[F.lit(t) for t in profile])
+        hits = F.size(F.filter(tris, lambda t: F.array_contains(prof, t)))
+        scores.append(
+            F.struct(
+                hits.alias("hits"),
+                F.lit(-i).alias("rank"),  # ties -> lowest language code
+                F.lit(code).alias("code"),
+            )
+        )
+    best = F.greatest(*scores)
+    return docs.select(
+        "doc_id",
+        best["code"].alias("pred_lang"),
+        best["hits"].cast("long").alias("hits"),
+        "lang",
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5, round_dp: int = 6) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the keyword/topic profile a
+    training-data pipeline uses for corpus inspection, cluster labeling
+    and domain-mix audits.
+
+    Smoothed IDF (the sklearn formula): idf = ln((N+1)/(df+1)) + 1, so
+    a term present in every document still scores > 0 and no division
+    ever sees zero. score = tf * idf rounded to ``round_dp``; ranking
+    uses the ROUNDED score (desc, then word asc) so the order is
+    bit-portable across engines.
+
+    Shape at 100 TB: one (doc_id, word) exchange for tf, one word-keyed
+    rollup for df joined back on word (both uniform keys), one
+    single-row broadcast for N; the top-k window partitions by doc_id —
+    per-task work bounded by a document's vocabulary, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("word"),
+    )
+    tf = toks.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("long").alias("_n"))
+    scored = tf.join(dfreq, "word").crossJoin(F.broadcast(n_docs)).select(
+        "doc_id", "word", "tf", "df",
+        F.round(
+            F.col("tf")
+            * (
+                F.log((F.col("_n") + 1) / (F.col("df") + 1)) + F.lit(1.0)
+            ),
+            round_dp,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "word", "tf", "df", "score")
+    )

@@ -967,3 +967,47 @@ def mix_plan_temperature(docs: DataFrame, alpha: float = 0.3,
         "stratum_tokens",
         F.round(rate, round_dp).alias("rate"),
     )
+
+
+def shuffle_shards(docs: DataFrame, n_shards: int = 16,
+                   salt: str = "shard1",
+                   token_col: str = "n_chars") -> DataFrame:
+    """Deterministic global shuffle + shard layout for the training-data
+    writer (the "shuffle once, shard into N files, read sequentially"
+    step every LLM data pipeline ends with — Dolma/Megatron-style).
+
+    sort_key = md5(salt:doc_id) is the shuffle order: reproducible
+    across cluster sizes, partitionings and input row order (df.sample/
+    rand() are not), and re-salting gives an independent epoch shuffle.
+    shard = uint32(first 8 hex chars) mod n_shards — so shard assignment
+    and within-shard order derive from the SAME key and any engine with
+    md5 reproduces the exact layout. pos is the record's index within
+    its shard file (row_number over the shard in key order, doc_id
+    tie-break against 8-hex prefix collisions).
+
+    Shape at 100 TB: the window is exactly one hash exchange on shard +
+    a per-shard sort — which IS the physical write layout the shards
+    need, so nothing is wasted; per-task work is corpus/n_shards. Size
+    n_shards so a shard fits a task (10^12 docs -> 10^5-10^6 shards);
+    for pathological few-giant-shards layouts the two-level bucket
+    decomposition in pack_sequences applies verbatim.
+    """
+    key = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string"))
+    )
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long"),
+        F.lit(int(n_shards)),
+    ).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        F.col(token_col).cast("long").alias("n_tokens"),
+        key.alias("sort_key"),
+        shard.alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return keyed.select(
+        "doc_id", "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+        "sort_key", "n_tokens",
+    )

@@ -336,3 +336,30 @@ def test_cli_index_merge_equals_destination_rejected(spark, sf_dir,
                      "--cores", "8"]) == 2
     # the existing index is untouched
     assert spark.read.parquet(idx["index"]).count() == idx["fingerprints"]
+
+
+def test_cli_shards_layout_and_summary(spark, tmp_path, capsys):
+    """Round-5 shards subcommand: deterministic shard layout written
+    partitioned-by-shard, per-shard summary totals consistent, and the
+    on-disk assignment identical to the operator's plan."""
+    import hashlib
+
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"text for document {i}", 10 + i) for i in range(60)],
+        "doc_id long, text string, n_chars long",
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "outs")
+    assert cli.main(["shards", "--input", docs_path, "--output", out,
+                     "--basename", "d", "--n-shards", "4",
+                     "--cores", "8"]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["n_shards"] == 4
+    assert sum(s["n_docs"] for s in info["per_shard"]) == 60
+    written = spark.read.parquet(info["shards"]).toPandas()
+    assert len(written) == 60
+    for r in written.itertuples():
+        key = hashlib.md5(f"shard1:{r.doc_id}".encode()).hexdigest()
+        assert r.sort_key == key and r.shard == int(key[:8], 16) % 4
+    for shard, g in written.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(1, len(g) + 1))

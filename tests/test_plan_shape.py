@@ -462,3 +462,30 @@ def test_curate_funnel_plan_is_all_hash_partitioned(spark):
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "Exchange SinglePartition" not in plan, plan[:2000]
     assert "rangepartitioning" not in plan, plan[:2000]
+
+
+def test_lang_trigrams_zero_exchanges(spark):
+    """t20 is a pure map-side projection: no exchange, no python UDF."""
+    from pdf_plumber_util_spark.operators.text_analysis import lang_id_trigrams
+
+    docs = spark.createDataFrame(
+        [(1, "the thing", "en")], "doc_id long, text string, lang string"
+    )
+    plan = _plan(lang_id_trigrams(docs))
+    assert "Exchange" not in plan, plan[:3000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """t19: the only exchange is the hash partitioning on shard that IS
+    the physical write layout (plus the per-shard sort the layout needs).
+    """
+    from pdf_plumber_util_spark.operators.webtext import shuffle_shards
+
+    docs = spark.createDataFrame(
+        [(i, 10) for i in range(50)], "doc_id long, n_chars long"
+    )
+    plan = _plan(shuffle_shards(docs, n_shards=4))
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n == 1, f"expected 1 exchange, got {n}:\n{plan[:3000]}"
+    assert "Exchange rangepartitioning" not in plan  # no global sort
