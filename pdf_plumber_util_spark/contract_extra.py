@@ -3399,3 +3399,75 @@ SELECT doc_id, shard,
   sort_key, n_tokens
 FROM sharded
 """
+
+
+def q_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d19: paragraph-granularity FUZZY dedup. The synthetic docs are
+    single-paragraph, so the query plants a 3-paragraph layout
+    deterministically: a shared boilerplate paragraph (must flag in
+    every doc) wrapped around two body slices (flag only where the
+    underlying texts near-duplicate)."""
+    from .operators.dedup import paragraph_neardup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.lit("subscribe to our newsletter for daily updates"),
+            F.substring("text", 1, 120),
+            F.substring("text", 90, 120),
+        ).alias("text"),
+    )
+    return paragraph_neardup(docs, min_para_chars=3)
+
+
+EXTRA_QUERIES["d19_paragraph_neardup"] = q_paragraph_neardup
+
+EXTRA_ORACLES["d19_paragraph_neardup"] = r"""
+WITH built AS (
+  SELECT doc_id,
+    'subscribe to our newsletter for daily updates'
+      || chr(10) || chr(10) || substr(text, 1, 120)
+      || chr(10) || chr(10) || substr(text, 90, 120) AS text
+  FROM documents
+), paras AS (
+  SELECT doc_id, u.p.idx AS para_idx, u.p.para AS para
+  FROM (
+    SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS ps FROM built
+  ), unnest(list_transform(ps, (x, i) -> {'para': x, 'idx': i - 1})) AS u(p)
+  WHERE length(trim(u.p.para)) >= 3
+), toks AS (
+  SELECT doc_id, para_idx,
+    regexp_split_to_array(
+      trim(regexp_replace(lower(para), '\s+', ' ', 'g')), ' ') AS t
+  FROM paras
+), shingles AS (
+  SELECT DISTINCT doc_id, para_idx,
+    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (
+    SELECT doc_id, para_idx, t, unnest(range(1, len(t) - 1)) AS i
+    FROM toks WHERE len(t) >= 3
+  )
+), seeded AS (
+  SELECT doc_id, para_idx, s.seed,
+    MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS min_hash
+  FROM shingles, generate_series(0, 7) AS s(seed)
+  GROUP BY doc_id, para_idx, s.seed
+), bands AS (
+  SELECT doc_id, para_idx, seed // 2 AS band_idx,
+    md5(STRING_AGG(CAST(seed AS VARCHAR) || ':' || min_hash, '|'
+        ORDER BY seed)) AS band_key
+  FROM seeded GROUP BY doc_id, para_idx, seed // 2
+), bucket AS (
+  SELECT band_idx, band_key, COUNT(DISTINCT doc_id) AS n_docs
+  FROM bands GROUP BY band_idx, band_key
+), flagged AS (
+  SELECT doc_id, para_idx, bool_or(n_docs > 1) AS has_near_dup
+  FROM bands JOIN bucket USING (band_idx, band_key)
+  GROUP BY doc_id, para_idx
+)
+SELECT p.doc_id, CAST(p.para_idx AS BIGINT) AS para_idx,
+  CAST(length(p.para) AS BIGINT) AS n_chars,
+  COALESCE(f.has_near_dup, FALSE) AS has_near_dup
+FROM paras p LEFT JOIN flagged f USING (doc_id, para_idx)
+"""

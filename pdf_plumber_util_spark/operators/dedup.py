@@ -828,3 +828,60 @@ def dedup_report(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
         "near_canonical_id", "is_near_dup", "dup_token_frac",
         action.alias("action"),
     )
+
+
+def paragraph_neardup(docs: DataFrame, num_hashes: int = 8,
+                      band_size: int = 2, k: int = 3,
+                      min_para_chars: int = 1,
+                      text_col: str = "text") -> DataFrame:
+    """Paragraph-granularity FUZZY dedup — the missing granularity in the
+    Lee et al. 2022 / Dolma family: d2/d8 are doc-level fuzzy, d10 is
+    chunk-level exact, d11 is span-level exact; this is paragraph-level
+    fuzzy. Documents split on blank lines; each paragraph gets its own
+    MinHash-LSH banding, and a paragraph is flagged when ANY of its band
+    keys is shared with a paragraph of ANOTHER document (boilerplate
+    paragraphs — nav, subscribe prompts, license blocks — light up even
+    when the surrounding documents differ).
+
+    Output: (doc_id, para_idx, n_chars, has_near_dup), one row per kept
+    paragraph (>= ``min_para_chars`` after trim). Paragraphs too short
+    to shingle (< k tokens) report false.
+
+    Shape at 100 TB: the paragraph signature chain inherits lsh_bands'
+    zero-exchange projection (composite (doc, para) key rides through
+    unchanged); the only exchanges are the band-key rollup and the flag
+    rollup — both keyed by band/paragraph, both uniform (a band bucket
+    holding a million boilerplate paragraphs is absorbed map-side by the
+    countDistinct partial aggregation before the join back). Paragraph
+    text itself shuffles nowhere.
+    """
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n{2,}")
+        ).alias("para_idx", "para"),
+    ).filter(F.length(F.trim("para")) >= min_para_chars)
+    keyed = paras.select(
+        F.struct("doc_id", "para_idx").alias("doc_id"),
+        F.col("para").alias("text"),
+    )
+    bands = lsh_bands(keyed, num_hashes, band_size, k)
+    bucket = bands.groupBy("band_idx", "band_key").agg(
+        F.count_distinct(F.col("doc_id.doc_id")).alias("_n_docs")
+    )
+    flagged = (
+        bands.join(bucket, ["band_idx", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.max(F.col("_n_docs") > 1).alias("has_near_dup"))
+        .select(
+            F.col("doc_id.doc_id").alias("doc_id"),
+            F.col("doc_id.para_idx").alias("para_idx"),
+            "has_near_dup",
+        )
+    )
+    return paras.join(flagged, ["doc_id", "para_idx"], "left").select(
+        "doc_id",
+        F.col("para_idx").cast("long").alias("para_idx"),
+        F.length("para").cast("long").alias("n_chars"),
+        F.coalesce("has_near_dup", F.lit(False)).alias("has_near_dup"),
+    )

@@ -112,3 +112,44 @@ def test_shuffle_shards_partitioning_invariant(spark, sf_dir):
     c = shuffle_shards(docs, n_shards=4, salt="shard2").toPandas()
     merged = a.merge(c, on="doc_id", suffixes=("_a", "_c"))
     assert (merged["sort_key_a"] != merged["sort_key_c"]).all()
+
+
+def test_paragraph_neardup_planted(spark):
+    """Planted layout: a boilerplate paragraph shared by all docs must
+    flag everywhere; unique body paragraphs must not; a near-identical
+    body pair (one word changed out of 30) must flag in both docs;
+    sub-shingle paragraphs report false."""
+    from pdf_plumber_util_spark.operators.dedup import paragraph_neardup
+
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    body = " ".join(f"w{i}" for i in range(30))
+    near = body.replace("w7", "zz")          # 1 token of 30 changed
+    uniq1 = " ".join(f"a{i}" for i in range(30))
+    uniq2 = " ".join(f"b{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\n\n{body}\n\nshort"),
+            (2, f"{boiler}\n\n{near}\n\n{uniq1}"),
+            (3, f"{boiler}\n\n{uniq2}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.para_idx): r.has_near_dup
+           for r in paragraph_neardup(docs).collect()}
+    assert out[(1, 0)] and out[(2, 0)] and out[(3, 0)]   # boilerplate
+    assert out[(1, 1)] and out[(2, 1)]                   # near-identical pair
+    assert not out[(2, 2)] and not out[(3, 1)]           # unique bodies
+    assert not out[(1, 2)]                               # < k tokens
+
+
+def test_paragraph_neardup_within_doc_not_flagged(spark):
+    """Two identical paragraphs INSIDE one doc are not cross-doc dups
+    (that's u5's job): the flag requires a second distinct doc_id."""
+    from pdf_plumber_util_spark.operators.dedup import paragraph_neardup
+
+    p = " ".join(f"c{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, f"{p}\n\n{p}")], "doc_id long, text string"
+    )
+    out = paragraph_neardup(docs).collect()
+    assert len(out) == 2 and not any(r.has_near_dup for r in out)
