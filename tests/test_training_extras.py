@@ -1111,3 +1111,33 @@ def test_dedup_report_planted(spark):
     assert got[3]["dup_token_frac"] >= 0.3
     assert got[3]["action"] == "trim_spans"
     assert got[4]["action"] == "keep" and got[4]["dup_token_frac"] == 0.0
+
+
+def test_ivf_centroids_lloyd_objective_monotone(spark, sf_dir):
+    """Lloyd refinements in ivf_centroids are true spherical k-means
+    steps: the clustering objective (mean cosine of each vector to its
+    assigned centroid) must not decrease as n_iter grows. Pins the
+    multi-iteration path (the single-iteration path is pinned by the s3
+    oracle + exhaustive-probe equality)."""
+    from pyspark.sql import functions as F
+
+    from pdf_plumber_util_spark.operators import similarity
+    from pdf_plumber_util_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    base = similarity.with_norm(emb).select("vec_id", "_v", "_norm")
+
+    def objective(n_iter: int) -> float:
+        cents = similarity.ivf_centroids(emb, n_cells=6, n_iter=n_iter)
+        assigned = similarity.ivf_assign(base, cents)
+        scored = assigned.join(F.broadcast(cents), "cell").select(
+            (
+                similarity._dot(F.col("_v"), F.col("_cv"))
+                / (F.col("_norm") * F.col("_cnorm"))
+            ).alias("cos")
+        )
+        return scored.agg(F.avg("cos")).collect()[0][0]
+
+    objs = [objective(n) for n in (1, 2, 4)]
+    for a, b in zip(objs, objs[1:]):
+        assert b >= a - 1e-9, objs
