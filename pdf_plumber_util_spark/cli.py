@@ -304,6 +304,7 @@ def cmd_curate(args) -> int:
         model_threshold=args.model_threshold,
         dedup_index=(spark.read.parquet(args.dedup_index)
                      if args.dedup_index else None),
+        drop_dup_paragraphs=args.drop_dup_paragraphs,
     )
     report_path = None
     report_actions: dict[str, int] = {}
@@ -527,6 +528,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="parquet fingerprint index of the prior corpus "
                         "(see the index subcommand); docs already in it "
                         "are dropped as duplicates")
+    p.add_argument("--drop-dup-paragraphs", action="store_true",
+                   help="pre-clean: remove cross-doc near-duplicate "
+                        "paragraphs (MinHash-LSH at paragraph "
+                        "granularity) before the gates run")
     p.add_argument("--dedup-report", action="store_true",
                    help="also write {basename}_dedup_report: per-doc "
                         "exact/near/span dedup verdicts with one action "

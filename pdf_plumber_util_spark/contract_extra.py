@@ -3471,3 +3471,86 @@ SELECT p.doc_id, CAST(p.para_idx AS BIGINT) AS para_idx,
   COALESCE(f.has_near_dup, FALSE) AS has_near_dup
 FROM paras p LEFT JOIN flagged f USING (doc_id, para_idx)
 """
+
+
+def q_drop_dup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d20: the actionable half of d19 — cross-doc near-dup paragraphs
+    REMOVED and the survivors re-assembled in order (same planted
+    3-paragraph layout as d19, so the shared boilerplate paragraph must
+    vanish from every doc)."""
+    from .operators.dedup import drop_dup_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.lit("subscribe to our newsletter for daily updates"),
+            F.substring("text", 1, 120),
+            F.substring("text", 90, 120),
+        ).alias("text"),
+    )
+    return drop_dup_paragraphs(docs)
+
+
+EXTRA_QUERIES["d20_drop_dup_paragraphs"] = q_drop_dup_paragraphs
+
+EXTRA_ORACLES["d20_drop_dup_paragraphs"] = r"""
+WITH built AS (
+  SELECT doc_id,
+    'subscribe to our newsletter for daily updates'
+      || chr(10) || chr(10) || substr(text, 1, 120)
+      || chr(10) || chr(10) || substr(text, 90, 120) AS text
+  FROM documents
+), paras AS (
+  SELECT doc_id, u.p.idx AS para_idx, u.p.para AS para
+  FROM (
+    SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS ps FROM built
+  ), unnest(list_transform(ps, (x, i) -> {'para': x, 'idx': i - 1})) AS u(p)
+  WHERE length(trim(u.p.para)) >= 1
+), toks AS (
+  SELECT doc_id, para_idx,
+    regexp_split_to_array(
+      trim(regexp_replace(lower(para), '\s+', ' ', 'g')), ' ') AS t
+  FROM paras
+), shingles AS (
+  SELECT DISTINCT doc_id, para_idx,
+    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (
+    SELECT doc_id, para_idx, t, unnest(range(1, len(t) - 1)) AS i
+    FROM toks WHERE len(t) >= 3
+  )
+), seeded AS (
+  SELECT doc_id, para_idx, s.seed,
+    MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS min_hash
+  FROM shingles, generate_series(0, 7) AS s(seed)
+  GROUP BY doc_id, para_idx, s.seed
+), bands AS (
+  SELECT doc_id, para_idx, seed // 2 AS band_idx,
+    md5(STRING_AGG(CAST(seed AS VARCHAR) || ':' || min_hash, '|'
+        ORDER BY seed)) AS band_key
+  FROM seeded GROUP BY doc_id, para_idx, seed // 2
+), bucket AS (
+  SELECT band_idx, band_key, COUNT(DISTINCT doc_id) AS n_docs
+  FROM bands GROUP BY band_idx, band_key
+), flagged AS (
+  SELECT doc_id, para_idx, bool_or(n_docs > 1) AS has_near_dup
+  FROM bands JOIN bucket USING (band_idx, band_key)
+  GROUP BY doc_id, para_idx
+), marked AS (
+  SELECT p.doc_id, p.para_idx, p.para,
+    COALESCE(f.has_near_dup, FALSE) AS has
+  FROM paras p LEFT JOIN flagged f USING (doc_id, para_idx)
+)
+SELECT b.doc_id,
+  COALESCE(
+    (SELECT STRING_AGG(m.para, chr(10) || chr(10) ORDER BY m.para_idx)
+     FROM marked m WHERE m.doc_id = b.doc_id AND NOT m.has),
+    '') AS text,
+  COALESCE(
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM marked m
+     WHERE m.doc_id = b.doc_id), 0) AS n_paras,
+  COALESCE(
+    (SELECT CAST(SUM(CASE WHEN m.has THEN 1 ELSE 0 END) AS BIGINT)
+     FROM marked m WHERE m.doc_id = b.doc_id), 0) AS n_paras_removed
+FROM built b
+"""

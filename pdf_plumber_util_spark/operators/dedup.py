@@ -833,7 +833,8 @@ def dedup_report(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
 def paragraph_neardup(docs: DataFrame, num_hashes: int = 8,
                       band_size: int = 2, k: int = 3,
                       min_para_chars: int = 1,
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      include_text: bool = False) -> DataFrame:
     """Paragraph-granularity FUZZY dedup — the missing granularity in the
     Lee et al. 2022 / Dolma family: d2/d8 are doc-level fuzzy, d10 is
     chunk-level exact, d11 is span-level exact; this is paragraph-level
@@ -879,9 +880,60 @@ def paragraph_neardup(docs: DataFrame, num_hashes: int = 8,
             "has_near_dup",
         )
     )
-    return paras.join(flagged, ["doc_id", "para_idx"], "left").select(
+    out = paras.join(flagged, ["doc_id", "para_idx"], "left").select(
         "doc_id",
         F.col("para_idx").cast("long").alias("para_idx"),
         F.length("para").cast("long").alias("n_chars"),
         F.coalesce("has_near_dup", F.lit(False)).alias("has_near_dup"),
+        *([F.col("para")] if include_text else []),
+    )
+    return out
+
+
+def drop_dup_paragraphs(docs: DataFrame, num_hashes: int = 8,
+                        band_size: int = 2, k: int = 3,
+                        text_col: str = "text") -> DataFrame:
+    """Paragraph-level cleanup built on paragraph_neardup (the Dolma
+    move: delete the boilerplate/near-dup PARAGRAPHS, keep the document):
+    flagged paragraphs are removed and the survivors re-assembled in
+    original order with blank-line separators. Returns the input columns
+    with ``text_col`` rewritten plus (n_paras, n_paras_removed); a doc
+    whose every paragraph is flagged keeps an empty string (the quality
+    gate downstream is what drops it, mirroring the null-text policy).
+
+    Re-assembly is the per-doc-bounded collect_list + array_sort fold of
+    dedup_lines_within_doc — one (doc, para) exchange, never corpus-wide.
+    """
+    flagged = paragraph_neardup(
+        docs, num_hashes=num_hashes, band_size=band_size, k=k,
+        min_para_chars=1, text_col=text_col, include_text=True,
+    )
+    rebuilt = flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("has_near_dup"),
+                            F.struct("para_idx", "para"),
+                        )
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias("_new_text"),
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.col("has_near_dup").cast("long")).alias("n_paras_removed"),
+    )
+    keep_cols = [c for c in docs.columns if c != text_col]
+    return (
+        docs.select(*keep_cols)
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            *keep_cols,
+            F.coalesce("_new_text", F.lit("")).alias(text_col),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_paras_removed", F.lit(0)).alias("n_paras_removed"),
+        )
     )

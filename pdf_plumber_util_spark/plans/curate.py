@@ -63,7 +63,8 @@ def curate_corpus(docs: DataFrame, *, min_words: int = 50,
                   quality_model: DataFrame | None = None,
                   model_bias: float = 0.0,
                   model_threshold: float = 0.5,
-                  dedup_index: DataFrame | None = None) -> DataFrame:
+                  dedup_index: DataFrame | None = None,
+                  drop_dup_paragraphs: bool = False) -> DataFrame:
     from ..operators.dedup import decontaminate, exact_duplicates
     from ..operators.text_analysis import repetition_stats
     from ..operators.webtext import (
@@ -72,6 +73,15 @@ def curate_corpus(docs: DataFrame, *, min_words: int = 50,
         mix_sample_cols,
         pii_scrub_cols,
     )
+
+    if drop_dup_paragraphs:
+        # Dolma-style pre-clean: delete cross-doc near-dup PARAGRAPHS
+        # before any gate sees the text, so quality/repetition/dedup all
+        # judge the de-boilerplated document (a doc reduced to nothing
+        # fails the quality gate downstream, same as null text)
+        from ..operators.dedup import drop_dup_paragraphs as _ddp
+
+        docs = _ddp(docs).drop("n_paras", "n_paras_removed")
 
     # the four row-preserving map-only gates, folded into ONE projection
     # (round-3 formulation joined each back by doc_id — identical values,

@@ -153,3 +153,58 @@ def test_paragraph_neardup_within_doc_not_flagged(spark):
     )
     out = paragraph_neardup(docs).collect()
     assert len(out) == 2 and not any(r.has_near_dup for r in out)
+
+
+def test_drop_dup_paragraphs_reassembly(spark):
+    """The shared boilerplate paragraph disappears from every doc, the
+    survivors re-assemble in original order, counts reconcile, and a doc
+    whose every paragraph is flagged keeps an empty string."""
+    from pdf_plumber_util_spark.operators.dedup import drop_dup_paragraphs
+
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    u1 = " ".join(f"a{i}" for i in range(20))
+    u2 = " ".join(f"b{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\n\n{u1}\n\n{u2}", "en"),
+            (2, f"{u1.replace('a3', 'xx')}\n\n{boiler}", "de"),
+            (3, boiler, "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in drop_dup_paragraphs(docs).collect()}
+    # doc 1: boiler + near-dup u1 removed, u2 survives alone
+    assert out[1].text == u2
+    assert out[1].n_paras == 3 and out[1].n_paras_removed == 2
+    # doc 2: both paragraphs flagged -> empty text
+    assert out[2].text == "" and out[2].n_paras_removed == 2
+    # doc 3: single boilerplate paragraph -> empty text
+    assert out[3].text == "" and out[3].n_paras_removed == 1
+    # non-text columns ride through
+    assert out[1].lang == "en" and out[3].lang == "fr"
+
+
+def test_curate_drop_dup_paragraphs_gate_interaction(spark):
+    """curate(drop_dup_paragraphs=True): the boilerplate paragraph is
+    stripped BEFORE the gates, so a doc reduced to nothing fails the
+    quality gate while a doc with enough unique body survives."""
+    from pdf_plumber_util_spark.plans.curate import curate_corpus
+
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    body = " ".join(f"the word{i} and of thing{i}" for i in range(20))
+    other = " ".join(f"the alpha{i} and of beta{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\n\n{body}"),
+            (2, boiler),
+            (3, f"{boiler}\n\n{other}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in curate_corpus(
+        docs, min_words=10, drop_dup_paragraphs=True
+    ).collect()}
+    assert boiler not in out[1].text
+    assert out[1].quality_keep
+    assert out[2].text == "" and not out[2].quality_keep
+    assert not out[2].keep
