@@ -3554,3 +3554,27 @@ SELECT b.doc_id,
      FROM marked m WHERE m.doc_id = b.doc_id), 0) AS n_paras_removed
 FROM built b
 """
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t21: corpus heavy-hitter 3-grams by document frequency — the
+    boilerplate miner feeding blocklists and the ngram_jaccard max_df
+    cap."""
+    from .operators.dedup import top_ngrams
+
+    return top_ngrams(load_table(spark, sf_dir, "documents"), k=3, top=25)
+
+
+EXTRA_QUERIES["t21_top_ngrams"] = q_top_ngrams
+
+EXTRA_ORACLES["t21_top_ngrams"] = _DOCS_TOKS_SQL + r"""
+, df_counts AS (
+  SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+  FROM shingles GROUP BY shingle
+  ORDER BY df DESC, shingle ASC LIMIT 25
+)
+SELECT CAST(row_number() OVER (ORDER BY df DESC, shingle ASC) AS BIGINT)
+    AS rank,
+  shingle, df
+FROM df_counts
+"""

@@ -937,3 +937,31 @@ def drop_dup_paragraphs(docs: DataFrame, num_hashes: int = 8,
             F.coalesce("n_paras_removed", F.lit(0)).alias("n_paras_removed"),
         )
     )
+
+
+def top_ngrams(docs: DataFrame, k: int = 3, top: int = 20) -> DataFrame:
+    """Corpus heavy-hitter word k-grams — the boilerplate miner: which
+    phrases recur across the most DOCUMENTS (df, not raw frequency, so a
+    single spammy doc cannot dominate). This is the diagnostic that
+    feeds blocklists, C4-style phrase filters and ngram_jaccard's max_df
+    cap with evidence instead of guesses.
+
+    Output: (rank, shingle, df), top ``top`` by (df desc, shingle asc).
+
+    Shape at 100 TB: per-doc-distinct shingles are map-side
+    (shingle_array), one uniform shingle-keyed exchange with map-side
+    partial counts, then orderBy+limit — Spark's TakeOrdered, a per-
+    partition top-k fold + driver merge of ``top`` rows per partition,
+    never a global sort; the final rank window runs on ``top`` rows.
+    """
+    df_counts = (
+        doc_shingles(docs, k)
+        .groupBy("shingle")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(top)
+    )
+    w = Window.orderBy(F.desc("df"), F.asc("shingle"))
+    return df_counts.select(
+        F.row_number().over(w).cast("long").alias("rank"), "shingle", "df"
+    )

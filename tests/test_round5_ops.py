@@ -208,3 +208,26 @@ def test_curate_drop_dup_paragraphs_gate_interaction(spark):
     assert out[1].quality_keep
     assert out[2].text == "" and not out[2].quality_keep
     assert not out[2].keep
+
+
+def test_top_ngrams_df_semantics(spark):
+    """df counts DOCUMENTS, not occurrences: a phrase repeated 10x inside
+    one doc scores df=1; ranking ties break by shingle asc."""
+    from pdf_plumber_util_spark.operators.dedup import top_ngrams
+
+    spam = " ".join(["click here now"] * 10)
+    docs = spark.createDataFrame(
+        [
+            (1, f"{spam} unique tail one"),
+            (2, "buy cheap pills online today"),
+            (3, "buy cheap pills online tomorrow"),
+        ],
+        "doc_id long, text string",
+    )
+    out = top_ngrams(docs, k=3, top=5).collect()
+    by_shingle = {r.shingle: (r.rank, r.df) for r in out}
+    # "buy cheap pills" and "cheap pills online" hit 2 docs each and tie;
+    # the lexicographically smaller shingle takes rank 1
+    assert by_shingle["buy cheap pills"] == (1, 2)
+    assert by_shingle["cheap pills online"] == (2, 2)
+    assert by_shingle["click here now"][1] == 1  # within-doc repeats: df 1
