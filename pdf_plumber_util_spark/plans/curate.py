@@ -36,6 +36,12 @@ the perplexity gate, and the broadcast eval n-grams:
                     FineWeb-Edu / CCNet-wikiref gate shape)
   is_contaminated   optional benchmark decontamination (broadcast evals)
 
+Optional pre-clean (``drop_dup_paragraphs=True``): cross-doc near-dup
+PARAGRAPHS are removed and the text re-assembled (dedup.
+drop_dup_paragraphs) before any gate runs, so every gate judges the
+de-boilerplated document; a doc reduced to nothing fails the quality
+gate, same as null text.
+
 Output: one row per input doc — (doc_id, keep, per-gate flags,
 PII-scrubbed text, n_pii_redactions). Identical values to the
 round-3 all-joins formulation (the a19 oracle and CLI pytests pin
