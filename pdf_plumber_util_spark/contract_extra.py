@@ -3578,3 +3578,108 @@ SELECT CAST(row_number() OVER (ORDER BY df DESC, shingle ASC) AS BIGINT)
   shingle, df
 FROM df_counts
 """
+
+
+def q_paragraph_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d21: candidate recall of the PARAGRAPH-level band join (d19's
+    machinery) against exact paragraph Jaccard >= 0.5 ground truth,
+    cross-doc pairs only — keeps the 'every approximate path carries a
+    recall pin' invariant true for the round-5 paragraph granularity.
+    Paragraphs are keyed doc_id*1000 + para_idx (the planted layout has
+    3 paragraphs) so the pair machinery of d12 applies unchanged."""
+    from .operators.dedup import lsh_candidate_pairs, ngram_jaccard
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.lit("subscribe to our newsletter for daily updates"),
+            F.substring("text", 1, 120),
+            F.substring("text", 90, 120),
+        ).alias("text"),
+    )
+    pseudo = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\n{2,}")).alias(
+            "para_idx", "para"
+        ),
+    ).filter(F.length(F.trim("para")) >= 3).select(
+        (F.col("doc_id") * 1000 + F.col("para_idx")).alias("doc_id"),
+        F.col("para").alias("text"),
+    )
+    # exclude para_idx 0 (the planted identical boilerplate clique —
+    # its C(n,2) exact pairs would dominate the metric and make the
+    # recall trivially 1.0); the body slices carry the NON-exact
+    # near-dups the pin is about
+    keep = (
+        (F.expr("doc_a div 1000") != F.expr("doc_b div 1000"))
+        & (F.expr("doc_a % 1000") != 0) & (F.expr("doc_b % 1000") != 0)
+    )
+    truth = ngram_jaccard(pseudo).filter(
+        (F.col("jaccard") >= 0.5) & keep
+    ).select("doc_a", "doc_b")
+    cand = lsh_candidate_pairs(pseudo).filter(keep).select(
+        "doc_a", "doc_b"
+    )
+    return _pair_recall(truth, cand)
+
+
+EXTRA_QUERIES["d21_paragraph_lsh_recall"] = q_paragraph_lsh_recall
+
+EXTRA_ORACLES["d21_paragraph_lsh_recall"] = r"""
+WITH built AS (
+  SELECT doc_id,
+    'subscribe to our newsletter for daily updates'
+      || chr(10) || chr(10) || substr(text, 1, 120)
+      || chr(10) || chr(10) || substr(text, 90, 120) AS text
+  FROM documents
+), paras AS (
+  SELECT doc_id * 1000 + u.p.idx AS pid, u.p.para AS para
+  FROM (
+    SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS ps FROM built
+  ), unnest(list_transform(ps, (x, i) -> {'para': x, 'idx': i - 1})) AS u(p)
+  WHERE length(trim(u.p.para)) >= 3
+), toks AS (
+  SELECT pid,
+    regexp_split_to_array(
+      trim(regexp_replace(lower(para), '\s+', ' ', 'g')), ' ') AS t
+  FROM paras
+), shingles AS (
+  SELECT DISTINCT pid, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (
+    SELECT pid, t, unnest(range(1, len(t) - 1)) AS i
+    FROM toks WHERE len(t) >= 3
+  )
+), sizes AS (SELECT pid, COUNT(*) AS n FROM shingles GROUP BY pid),
+inter AS (
+  SELECT a.pid AS doc_a, b.pid AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.pid < b.pid
+  GROUP BY a.pid, b.pid
+), truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes na ON na.pid = i.doc_a
+  JOIN sizes nbs ON nbs.pid = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nbs.n - i.n_inter) >= 0.5
+    AND i.doc_a // 1000 <> i.doc_b // 1000
+    AND i.doc_a % 1000 <> 0 AND i.doc_b % 1000 <> 0
+), seeded AS (
+  SELECT pid, s.seed,
+    MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS min_hash
+  FROM shingles, generate_series(0, 7) AS s(seed)
+  GROUP BY pid, s.seed
+), bands AS (
+  SELECT pid, seed // 2 AS band_idx,
+    md5(STRING_AGG(CAST(seed AS VARCHAR) || ':' || min_hash,
+        '|' ORDER BY seed)) AS band_key
+  FROM seeded GROUP BY pid, seed // 2
+), cand AS (
+  SELECT DISTINCT a.pid AS doc_a, b.pid AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+    AND a.pid < b.pid
+  WHERE a.pid // 1000 <> b.pid // 1000
+    AND a.pid % 1000 <> 0 AND b.pid % 1000 <> 0
+)
+""" + _PAIR_RECALL_TAIL_SQL
